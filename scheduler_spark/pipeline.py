@@ -1,0 +1,120 @@
+"""End-to-end KG construction pipeline with resume.
+
+The Spark recast of the reference's asset DAG (SURVEY.md §3):
+catalog-refresh → harvest → release → export becomes one job:
+
+    files ──sha256──▶ dirty-partition select (checkpoint anti-join)
+          ──salted repartition──▶ mapInPandas mention extraction
+          ──▶ alias broadcast-join links  +  LSH ident edges ──▶ CC
+          ──▶ triples ──▶ overwrite_partitions(triples) + checkpoint
+
+Skew: the mega-repo holds ~50% of rows (FIXTURES.md F6).  Before the
+Python-worker extraction stage we repartition on (repo, salt) so no
+single task owns a whole mega-repo — extraction cost is per-row, so
+salting bounds task wall-clock; AQE's skew-join splitting covers the
+join stages.
+
+Resume: kill the run after the triples write of some partitions and
+rerun — the checkpoint anti-join selects only unfinished/changed repos,
+and dynamic partition overwrite makes re-writes idempotent
+(≈ bytesum skip + run_key idempotence).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+from .operators.canonicalize import canonicalize_values
+from .operators.extract import extract_mentions, with_content_sha
+from .operators.linking import link_by_alias, lsh_candidate_pairs
+from .operators.materialize import build_triples
+from .plans.checkpoint import dirty_partitions, fingerprint_partitions, updated_checkpoint
+from .plans.lineage import counters_property, stage_counters
+
+MENTIONS_TABLE = "mentions"
+TRIPLES_TABLE = "triples"
+CHECKPOINT_TABLE = "checkpoint"
+LINEAGE_TABLE = "lineage"
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    n_partitions_processed: int
+    n_triples: int
+    snapshot_id: int
+    skipped: bool = False
+
+
+def run_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    aliases: DataFrame,
+    catalog: Catalog,
+    run_id: str,
+    salt: int = 8,
+    extraction_partitions: int | None = None,
+) -> PipelineResult:
+    """One incremental sync of the corpus into the triples table."""
+    files_sha = with_content_sha(files)
+
+    # -- 1. dirty-partition selection (bytesum-skip analog) --------------
+    fp = fingerprint_partitions(files_sha)
+    checkpoint = catalog.read(CHECKPOINT_TABLE) if catalog.exists(CHECKPOINT_TABLE) else None
+    # localCheckpoint (eager), not cache(): this plan READS the
+    # checkpoint parquet that step 5 overwrites, and a cached plan is
+    # invalidated by that write — any post-write recompute would see the
+    # *new* checkpoint and silently select zero partitions.
+    dirty = dirty_partitions(fp, checkpoint).localCheckpoint()
+    n_dirty = dirty.count()
+    if n_dirty == 0:
+        return PipelineResult(run_id, 0, 0, catalog.current_snapshot_id(TRIPLES_TABLE), skipped=True)
+
+    dirty_keys = dirty.select(F.col("partition").alias("repo"))
+    subset = files_sha.join(dirty_keys, "repo", "left_semi")
+
+    # -- 2. salted extraction (mega-repo skew bound) ---------------------
+    n_parts = extraction_partitions or spark.sparkContext.defaultParallelism
+    salted = subset.repartition(
+        n_parts, F.col("repo"), F.pmod(F.xxhash64("path"), F.lit(salt))
+    )
+    mentions = extract_mentions(salted).cache()
+
+    # -- 3. entity linking ----------------------------------------------
+    linked = link_by_alias(mentions, aliases)
+    ident_mentions = mentions.filter(F.col("kind") == "identifier")
+    edges = lsh_candidate_pairs(ident_mentions.select("value"))
+    ident_entities = canonicalize_values(ident_mentions.select("value"), edges)
+
+    # -- 4. materialize --------------------------------------------------
+    triples = build_triples(subset, linked, ident_mentions, ident_entities, run_id).cache()
+    n_triples = triples.count()
+
+    lineage = stage_counters(triples, "src_partition", run_id, "materialize").cache()
+    props = counters_property(lineage)
+    props["run_id"] = run_id
+
+    catalog.overwrite_partitions(
+        mentions.withColumn("src_partition", F.col("repo")),
+        MENTIONS_TABLE,
+        ["src_partition"],
+        properties={"run_id": run_id, "stage": "harvest"},
+    )
+    snapshot_id = catalog.overwrite_partitions(
+        triples, TRIPLES_TABLE, ["src_partition"], properties=props
+    )
+    catalog.append(lineage, LINEAGE_TABLE, properties={"run_id": run_id})
+
+    # -- 5. commit checkpoint -------------------------------------------
+    new_ckpt = updated_checkpoint(checkpoint, dirty, snapshot_id)
+    # materialize before overwrite: the plan reads the table being replaced
+    new_ckpt = new_ckpt.localCheckpoint()
+    catalog.overwrite(new_ckpt, CHECKPOINT_TABLE, properties={"run_id": run_id})
+
+    mentions.unpersist()
+    triples.unpersist()
+    return PipelineResult(run_id, n_dirty, n_triples, snapshot_id)

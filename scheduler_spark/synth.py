@@ -1,0 +1,234 @@
+"""Deterministic synthetic source-code corpus (the KG pipeline's input).
+
+The reference's test fixtures pin an e2e golden contract: harvest
+partition ``ref:dams`` then assert exact output objects and exact
+pid→mainstem enrichment pairs (/root/reference/userCode/defs_test.py:55-130).
+Our analog: a seeded corpus of `(repo, path, commit, lang, content)`
+rows where every planted mention → entity link is *recomputable in
+closed form*, so tests can assert exact expected triples at any scale.
+
+Generation is distributed and partition-order-independent: every column
+derives from `spark.range(n)`'s id via pure expressions (xxhash64 as the
+PRNG), so the same (n_files) always yields byte-identical rows on any
+cluster layout.  No driver-side loops — this generator is also the bench
+corpus factory at 100× scale.
+
+Skew is built in: `mega_pct` percent of rows land in one monorepo
+(FIXTURES.md F6), exercising salting + AQE skew-join handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import ALIASES, FILES, enforce
+
+ENTITY_COUNT = 20
+LANGS = ["python", "go", "java"]
+MEGA_REPO = "mega/monorepo"
+
+# Distinct word stems for planted identifiers — chosen pairwise-dissimilar
+# so 3-gram Jaccard cleanly separates same-stem spelling variants
+# (snake vs camel, J≈0.55) from cross-stem pairs (J≲0.3).
+IDENT_WORDS = [
+    "alpha", "bravo", "delta", "echo", "foxtrot", "golf", "hotel",
+    "india", "juliet", "kilo", "lima", "mike", "november", "oscar",
+    "papa", "quebec", "romeo", "sierra", "tango", "victor",
+]
+
+
+def _entity_name(k: int) -> str:
+    return f"lib{k}"
+
+
+def entity_id(k: int) -> str:
+    return f"ent:{_entity_name(k)}"
+
+
+def alias_forms(k: int) -> list[str]:
+    """All surface forms that should resolve to entity k."""
+    name = _entity_name(k)
+    return [name, f"{name}.core", f"example.com/{name}", f"org.example.{name}"]
+
+
+def alias_rows() -> list[tuple[str, str]]:
+    """(alias, entity_id) dictionary — the broadcastable enrichment
+    dimension (mainstem-catchment analog, FIXTURES.md F4)."""
+    out = []
+    for k in range(ENTITY_COUNT):
+        for form in alias_forms(k):
+            out.append((form, entity_id(k)))
+    return out
+
+
+def alias_df(spark: SparkSession) -> DataFrame:
+    return enforce(
+        spark.createDataFrame(alias_rows(), schema=ALIASES), ALIASES
+    )
+
+
+# -- column-expression helpers (shared by content builder and oracle) -------
+
+def _h(col: Column, salt: str) -> Column:
+    """Deterministic non-negative hash stream keyed by (id, salt)."""
+    return F.abs(F.xxhash64(col, F.lit(salt)))
+
+
+def _pick(col: Column, salt: str, n: int) -> Column:
+    return F.pmod(_h(col, salt), F.lit(n)).cast("int")
+
+
+def _arr(values: list[str]) -> Column:
+    return F.array(*[F.lit(v) for v in values])
+
+
+def _base_columns(file_id: Column, n_repos: int, mega_pct: int) -> dict[str, Column]:
+    """Every derived attribute of a synthetic file, in closed form."""
+    is_mega = _pick(file_id, "mega", 100) < F.lit(mega_pct)
+    repo_idx = _pick(file_id, "repo", n_repos)
+    repo = F.when(is_mega, F.lit(MEGA_REPO)).otherwise(
+        F.concat(F.lit("org/repo"), repo_idx.cast("string"))
+    )
+    lang = F.element_at(_arr(LANGS), _pick(file_id, "lang", len(LANGS)) + 1)
+    ext = F.element_at(_arr(["py", "go", "java"]), _pick(file_id, "lang", len(LANGS)) + 1)
+    path = F.concat(
+        F.lit("src/mod"),
+        _pick(file_id, "dir", 1000).cast("string"),
+        F.lit("/file"),
+        file_id.cast("string"),
+        F.lit("."),
+        ext,
+    )
+    commit = F.substring(
+        F.sha2(F.concat(F.lit("commit:"), file_id.cast("string")), 256), 1, 40
+    )
+
+    # two imported entities + one uri-referenced entity per file
+    ent_a = _pick(file_id, "ent_a", ENTITY_COUNT)
+    ent_b = _pick(file_id, "ent_b", ENTITY_COUNT)
+    ent_uri = _pick(file_id, "ent_uri", ENTITY_COUNT)
+
+    # lang-appropriate alias surface form (index into alias_forms):
+    #   python → "libk" or "libk.core"; go → "example.com/libk";
+    #   java → "org.example.libk"
+    py_form = _pick(file_id, "pyform", 2)  # 0 or 1
+
+    def alias_for(ent: Column, stream: str) -> Column:
+        names = _arr([_entity_name(k) for k in range(ENTITY_COUNT)])
+        name = F.element_at(names, ent + 1)
+        return (
+            F.when(lang == "python",
+                   F.when(py_form == 0, name).otherwise(F.concat(name, F.lit(".core"))))
+            .when(lang == "go", F.concat(F.lit("example.com/"), name))
+            .otherwise(F.concat(F.lit("org.example."), name))
+        )
+
+    names = _arr([_entity_name(k) for k in range(ENTITY_COUNT)])
+    uri = F.concat(F.lit("https://example.org/ent/"), F.element_at(names, ent_uri + 1))
+
+    # identifier with two spellings that must cluster (snake vs camel)
+    ident_k = _pick(file_id, "ident", len(IDENT_WORDS))
+    words = _arr(IDENT_WORDS)
+    snake = F.concat(F.element_at(words, ident_k + 1), F.lit("_worker"))
+    camel = F.concat(F.element_at(words, ident_k + 1), F.lit("Worker"))
+    ident = F.when(_pick(file_id, "spelling", 2) == 0, snake).otherwise(camel)
+
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "alias_a": alias_for(ent_a, "ent_a"),
+        "alias_b": alias_for(ent_b, "ent_b"),
+        "ent_a": ent_a,
+        "ent_b": ent_b,
+        "ent_uri": ent_uri,
+        "uri": uri,
+        "ident": ident,
+        "ident_k": ident_k,
+    }
+
+
+def _content(c: dict[str, Column]) -> Column:
+    nl = F.lit("\n")
+    py = F.concat(
+        F.lit("\"\"\"auto module\"\"\"\n"),
+        F.lit("import "), c["alias_a"], nl,
+        F.lit("import "), c["alias_b"], nl,
+        F.lit("# see "), c["uri"], nl,
+        F.lit("def "), c["ident"], F.lit("(x):\n    return x + 1\n"),
+    )
+    go = F.concat(
+        F.lit("package main\n"),
+        F.lit("import \""), c["alias_a"], F.lit("\"\n"),
+        F.lit("import \""), c["alias_b"], F.lit("\"\n"),
+        F.lit("// see "), c["uri"], nl,
+        F.lit("func "), c["ident"], F.lit("(x int) int { return x + 1 }\n"),
+    )
+    java = F.concat(
+        F.lit("package org.example;\n"),
+        F.lit("import "), c["alias_a"], F.lit(";\n"),
+        F.lit("import "), c["alias_b"], F.lit(";\n"),
+        F.lit("// see "), c["uri"], nl,
+        F.lit("int "), c["ident"], F.lit("(int x) { return x + 1; }\n"),
+    )
+    return (
+        F.when(c["lang"] == "python", py)
+        .when(c["lang"] == "go", go)
+        .otherwise(java)
+    )
+
+
+def synth_files(
+    spark: SparkSession,
+    n_files: int = 2000,
+    n_repos: int = 40,
+    mega_pct: int = 50,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The input corpus: deterministic `(repo, path, commit, lang, content)`."""
+    base = spark.range(n_files, numPartitions=partitions)
+    c = _base_columns(F.col("id"), n_repos, mega_pct)
+    df = base.select(
+        c["repo"].alias("repo"),
+        c["path"].alias("path"),
+        c["commit"].alias("commit"),
+        c["lang"].alias("lang"),
+        _content(c).alias("content"),
+    )
+    return enforce(df, FILES)
+
+
+def subject_id(repo: Column, path: Column, commit: Column) -> Column:
+    """Stable subject IRI for a file row (≈ the per-feature pid)."""
+    return F.concat(
+        F.lit("repo://"), repo, F.lit("/"), path, F.lit("@"), F.substring(commit, 1, 8)
+    )
+
+
+def expected_links(
+    spark: SparkSession,
+    n_files: int = 2000,
+    n_repos: int = 40,
+    mega_pct: int = 50,
+) -> DataFrame:
+    """Closed-form oracle: the exact (subj, entity_id) link set the
+    pipeline must emit for `synth_files(same params)` — the analog of the
+    golden pid→mainstem pairs (/root/reference/userCode/defs_test.py:120-130).
+    """
+    base = spark.range(n_files)
+    c = _base_columns(F.col("id"), n_repos, mega_pct)
+    ids = _arr([entity_id(k) for k in range(ENTITY_COUNT)])
+    subj = subject_id(c["repo"], c["path"], c["commit"])
+    df = base.select(
+        subj.alias("subj"),
+        F.array_distinct(
+            F.array(
+                F.element_at(ids, c["ent_a"] + 1),
+                F.element_at(ids, c["ent_b"] + 1),
+                F.element_at(ids, c["ent_uri"] + 1),
+            )
+        ).alias("ents"),
+    )
+    return df.select("subj", F.explode("ents").alias("entity_id")).distinct()

@@ -1,0 +1,57 @@
+"""Connected components: large-star/small-star DataFrame loop."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scheduler_spark.operators.canonicalize import canonicalize_values, pick_representative
+from scheduler_spark.operators.components import connected_components
+
+
+def _cc(spark, pairs):
+    edges = spark.createDataFrame(pairs, "src_entity string, dst_entity string")
+    return {
+        r.entity_id: r.canonical_id for r in connected_components(edges).collect()
+    }
+
+
+def test_two_components(spark):
+    got = _cc(spark, [("b", "a"), ("c", "b"), ("y", "z")])
+    assert got == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}
+
+
+def test_long_chain_converges(spark):
+    # a chain of 40 nodes exercises the O(log n) star contraction
+    chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(40)]
+    got = _cc(spark, chain)
+    assert set(got.values()) == {"n00"}
+    assert len(got) == 41
+
+
+def test_result_partition_order_independent(spark):
+    pairs = [("b", "a"), ("c", "b"), ("d", "c"), ("y", "z")]
+    e1 = spark.createDataFrame(pairs, "src_entity string, dst_entity string").repartition(1)
+    e8 = spark.createDataFrame(list(reversed(pairs)), "src_entity string, dst_entity string").repartition(8)
+    r1 = {(r.entity_id, r.canonical_id) for r in connected_components(e1).collect()}
+    r8 = {(r.entity_id, r.canonical_id) for r in connected_components(e8).collect()}
+    assert r1 == r8
+
+
+def test_canonicalize_includes_singletons(spark):
+    values = spark.createDataFrame([("a",), ("b",), ("solo",)], "value string")
+    edges = spark.createDataFrame([("b", "a")], "src_entity string, dst_entity string")
+    got = {r.entity_id: r.canonical_id for r in canonicalize_values(values, edges).collect()}
+    assert got == {"a": "a", "b": "a", "solo": "solo"}
+
+
+def test_pick_representative_by_frequency_then_lex(spark):
+    mentions = spark.createDataFrame(
+        [("x",), ("x",), ("y",), ("p",), ("q",)], "value string"
+    )
+    entities = spark.createDataFrame(
+        [("x", "x"), ("y", "x"), ("p", "p"), ("q", "p")],
+        "entity_id string, canonical_id string",
+    )
+    reps = {r.canonical_id: r.representative for r in pick_representative(mentions, entities).collect()}
+    assert reps["x"] == "x"  # 2 mentions beats 1
+    assert reps["p"] == "p"  # tie → lexicographic
