@@ -1,0 +1,103 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "suite_sec", "value": <total>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "kg": {...synthetic-corpus pipeline throughput...}}
+
+Query results are forced with a noop-format write (count() would let
+Catalyst prune the projected columns and under-measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from scheduler_spark import queries as q  # noqa: E402
+from scheduler_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_top_order_per_customer",
+    "events_sessionize",
+    "harvest_word_mentions",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "doc_quality_score",
+]
+
+KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench", parallelism=cpus)
+
+    # warm up the JVM/codegen/Python workers outside the timed region
+    _force(q.all_queries()["q1_pricing_summary"](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    queries = q.all_queries()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    # KG pipeline throughput on the deterministic synthetic corpus
+    from scheduler_spark.operators.canonicalize import canonicalize_values
+    from scheduler_spark.operators.extract import extract_mentions, with_content_sha
+    from scheduler_spark.operators.linking import link_by_alias, lsh_candidate_pairs
+    from scheduler_spark.operators.materialize import build_triples
+    from scheduler_spark.synth import alias_df, synth_files
+    from pyspark.sql import functions as F
+
+    files = with_content_sha(synth_files(spark, KG_BENCH_FILES, partitions=cpus * 2))
+    t0 = time.perf_counter()
+    mentions = extract_mentions(files)
+    linked = link_by_alias(mentions, alias_df(spark))
+    ident = mentions.filter(F.col("kind") == "identifier")
+    edges = lsh_candidate_pairs(ident.select("value"))
+    ents = canonicalize_values(ident.select("value"), edges)
+    triples = build_triples(files, linked, ident, ents, run_id="bench")
+    n_triples = triples.count()
+    kg_sec = time.perf_counter() - t0
+
+    total = round(sum(per_query.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "kg": {
+                    "n_files": KG_BENCH_FILES,
+                    "n_triples": n_triples,
+                    "sec": round(kg_sec, 3),
+                    "triples_per_sec": round(n_triples / kg_sec, 1),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

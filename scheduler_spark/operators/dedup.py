@@ -1,0 +1,164 @@
+"""Deduplication operators for large-scale corpora.
+
+≈ the reference's dedup-on-release (one deduplicated graph per source;
+hash-keyed docs make exact dedup an equi-group, /root/reference/docs/
+hdt.md:12-16) generalized to the near-dup families a training-data
+pipeline needs: exact, MinHash-LSH (see linking.lsh_candidate_pairs),
+SimHash, n-gram Jaccard, embedding cosine.
+
+All built-in column expressions — no Python workers:
+
+- exact: `sha2` fingerprint group-by.
+- SimHash: per-token 64-bit xxhash; each of the 64 bit positions votes
+  ±1 weighted by token presence; the sign vector packs into a BIGINT.
+  Near-dup candidates are blocked on 4×16-bit bands (two docs within
+  hamming distance h<=16 must share ≥1 exact band by pigeonhole when
+  h < bands), then verified with `bit_count(xor)` — exact hamming.
+
+Scale notes: simhash is a narrow map (one pass, no shuffle); the band
+explode is ×4; the bucket self-join is bounded by bucket size exactly
+like MinHash-LSH.  At 10^12 docs the 16-bit bands would be widened to
+keep bucket cardinality ~uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) texts; keeper = min id."""
+    fp = F.sha2(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")), 256)
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.collect_set("doc_id").alias("member_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _tokens(text_col):
+    return F.array_distinct(
+        F.regexp_extract_all(F.lower(text_col), F.lit("[a-z0-9]+"), 0)
+    )
+
+
+def simhash64(text_col) -> "F.Column":
+    """64-bit SimHash of the distinct-token set, as a column expression.
+
+    For each bit i: sum over tokens of (+1 if bit i of xxhash64(token)
+    set else -1); simhash bit i = 1 iff the sum is positive.
+    """
+    toks = _tokens(text_col)
+
+    # shiftright/shiftleft take Python-int bit counts, so the 64 bit
+    # positions are unrolled as literal expressions (static plan, still
+    # one pass over the token array per row).
+    def bit_votes(t):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for i in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, bit_votes(t), lambda a, b: a + b),
+    )
+    # pack sign bits into one BIGINT (bit 63 is the sign bit of long)
+    packed = None
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(F.element_at(votes, i + 1) > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return packed
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding + exact hamming verify."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sim")
+    )
+    banded = sh.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "chunk")
+    banded = (
+        banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    a = banded.select("band", "chunk", F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
+    b = banded.select("band", "chunk", F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard within blocks (O(block²) — the verify
+    step behind LSH blocking; standalone only for bounded blocks)."""
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(text_col) - n, F.lit(0))),
+            lambda i: F.substr(F.col(text_col), i + 1, F.lit(n)),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("block"),
+        sh.alias("s"),
+    )
+    a = base.select(F.col("doc_id").alias("doc_a"), "block", F.col("s").alias("sa"))
+    b = base.select(F.col("doc_id").alias("doc_b"), "block", F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    )

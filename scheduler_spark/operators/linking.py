@@ -141,11 +141,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # cap pathological buckets (observable drop, not silent)
-    counts = banded.groupBy("band", "bucket").count()
-    banded = banded.join(
-        counts.filter(F.col("count") <= max_bucket).drop("count"),
-        ["band", "bucket"],
+    # cap pathological buckets (observable drop, not silent); a count
+    # window is one shuffle vs two for groupBy+join-back
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
     )
     a = banded.select(
         F.col("band"), F.col("bucket"),

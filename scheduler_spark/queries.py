@@ -1,0 +1,1002 @@
+"""Driver-facing operator query bank (SURVEY.md §2 coverage).
+
+Every entry pairs a Spark DataFrame program with a DuckDB-runnable ANSI
+SQL oracle over the same parquet tables.  Column names/aliases match on
+both sides (the driver's compare sorts columns by name before hashing).
+
+Conventions for oracle parity:
+- derived integers cast to BIGINT on both sides (DuckDB count/len are
+  BIGINT, sum(int) is HUGEINT — always cast);
+- float-producing similarity scores rounded to 6 dp on both sides;
+- every top-k has a total tiebreaker (unique key last);
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all default.
+
+Operator-family map (SURVEY.md §2 rows → query names) is in each
+section header below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+_SPARK_QUERIES: dict[str, Query] = {}
+_ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, sql: str | None = None):
+    def wrap(fn: Query) -> Query:
+        _SPARK_QUERIES[name] = fn
+        if sql is not None:
+            _ORACLE_SQL[name] = sql
+        return fn
+
+    return wrap
+
+
+# ===========================================================================
+# §2.4 aggregations / §2.2 filters — pricing summary (scan+filter+groupby)
+# ===========================================================================
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE)      AS sum_qty,
+           CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+           CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS DOUBLE) AS sum_charge,
+           avg(l_quantity)       AS avg_qty,
+           avg(l_extendedprice)  AS avg_price,
+           avg(l_discount)       AS avg_disc,
+           count(*)              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum("l_extendedprice").cast("double").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).cast("double").alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ===========================================================================
+# §2.3 joins — 3-way join + agg + top-k (shipping priority)
+# ===========================================================================
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ===========================================================================
+# §2.3 joins — 6-way star join (local supplier volume)
+# ===========================================================================
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name, CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double").alias("revenue")
+        )
+    )
+
+
+# ===========================================================================
+# §2.3 — broadcast dimension join (mainstem-enrichment shape)
+# ===========================================================================
+
+@query(
+    "broadcast_dim_join",
+    """
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+# ===========================================================================
+# §2.3 — semi/anti joins (materialization gate, stale-key prune)
+# ===========================================================================
+
+@query(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# ===========================================================================
+# §2.5 windows — ranking + running total
+# ===========================================================================
+
+@query(
+    "window_top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+)
+def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "window_running_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+    FROM orders
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum("o_totalprice").over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ===========================================================================
+# §2.6 set ops / §2.2 distinct
+# ===========================================================================
+
+@query("distinct_segments", "SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "except_building_without_orders",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def except_building_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "union_label_vocab",
+    """
+    SELECT DISTINCT o_orderpriority AS label FROM orders
+    UNION
+    SELECT DISTINCT c_mktsegment AS label FROM customer
+    """,
+)
+def union_label_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("label"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("label"))
+    return o.union(c).distinct()
+
+
+# ===========================================================================
+# §2.7 scalar functions — strings, dates, json, case/when
+# ===========================================================================
+
+@query(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           trim(p_name)                                        AS name_trim,
+           regexp_replace(p_name, '[^a-zA-Z0-9_]+', '', 'g')  AS name_sanitized,
+           substring(p_type, 1, 6)                            AS type_prefix,
+           replace(p_brand, '#', '-')                         AS brand_dashed,
+           split_part(p_type, ' ', 1)                         AS type_first_token,
+           CAST(length(p_name) AS BIGINT)                     AS name_len,
+           concat(p_brand, ':', p_type)                       AS brand_type
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.trim("p_name").alias("name_trim"),
+        F.regexp_replace("p_name", "[^a-zA-Z0-9_]+", "").alias("name_sanitized"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.split(F.col("p_type"), " ")[0].alias("type_first_token"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y_%m_%d')                          AS od_fmt,
+           o_orderdate + INTERVAL 30 DAY                              AS due_ts,
+           CAST(date_part('year', o_orderdate) AS BIGINT)             AS od_year,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy_MM_dd").alias("od_fmt"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.year("o_orderdate").cast("long").alias("od_year"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since"),
+    )
+
+
+@query(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )
+
+
+@query(
+    "case_when_balance_buckets",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket
+    FROM customer
+    """,
+)
+def case_when_balance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+    )
+
+
+# ===========================================================================
+# §2.5 sort/limit — top-k
+# ===========================================================================
+
+@query(
+    "topk_orders_by_price",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+# ===========================================================================
+# §2.4 — rollup + pivot
+# ===========================================================================
+
+@query(
+    "rollup_quantity",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty")
+    )
+
+
+@query(
+    "pivot_status_quantity",
+    """
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F",
+           CAST(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").cast("double").alias("F"),
+        F.col("O").cast("double").alias("O"),
+    )
+
+
+# ===========================================================================
+# §2.2 / §2.4 — dependency gate (all partitions materialized?)
+# ===========================================================================
+
+@query(
+    "dependency_gate",
+    """
+    SELECT (SELECT count(DISTINCT o_custkey) FROM orders)   AS n_materialized,
+           (SELECT count(DISTINCT c_custkey) FROM customer) AS n_expected,
+           (SELECT count(DISTINCT o_custkey) FROM orders) =
+           (SELECT count(DISTINCT c_custkey) FROM customer) AS all_materialized
+    """,
+)
+def dependency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").agg(F.countDistinct("o_custkey").alias("n_materialized"))
+    c = _t(spark, sf_dir, "customer").agg(F.countDistinct("c_custkey").alias("n_expected"))
+    return o.crossJoin(c).select(
+        "n_materialized",
+        "n_expected",
+        (F.col("n_materialized") == F.col("n_expected")).alias("all_materialized"),
+    )
+
+
+# ===========================================================================
+# §2.1/§2.2 source-catalog semantics over `documents` (sitemap analogs)
+# ===========================================================================
+
+@query(
+    "stale_partition_prune",
+    """
+    SELECT DISTINCT source FROM documents
+    WHERE source NOT IN ('src0', 'src1', 'src2')
+    """,
+)
+def stale_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    keep = spark.createDataFrame([("src0",), ("src1",), ("src2",)], "source string")
+    return d.select("source").distinct().join(F.broadcast(keep), "source", "left_anti")
+
+
+@query(
+    "duplicate_id_detection",
+    """
+    SELECT doc_id, count(*) AS n FROM documents GROUP BY doc_id HAVING count(*) > 1
+    """,
+)
+def duplicate_id_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+
+
+@query(
+    "empty_content_filter",
+    "SELECT doc_id FROM documents WHERE length(text) > 0",
+)
+def empty_content_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").filter(F.length("text") > 0).select("doc_id")
+
+
+@query(
+    "name_truncation",
+    """
+    SELECT doc_id,
+           CASE WHEN length(concat(source, '_', CAST(doc_id AS VARCHAR))) > 12
+                THEN substring(concat(source, '_', CAST(doc_id AS VARCHAR)), 1, 12)
+                ELSE concat(source, '_', CAST(doc_id AS VARCHAR)) END AS run_name
+    FROM documents
+    """,
+)
+def name_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    full = F.concat(F.col("source"), F.lit("_"), F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        F.when(F.length(full) > 12, F.substring(full, 1, 12)).otherwise(full).alias("run_name"),
+    )
+
+
+@query(
+    "quarantine_invalid_rows",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE n_chars != length(text) OR length(text) = 0
+    """,
+)
+def quarantine_invalid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(
+        (F.col("n_chars") != F.length("text")) | (F.length("text") == 0)
+    ).select("doc_id", "source")
+
+
+# ===========================================================================
+# §2.1 harvest + §2.4 release rollup over documents (hash-keyed mentions)
+# ===========================================================================
+
+@query(
+    "harvest_word_mentions",
+    """
+    SELECT doc_id, sha256(text) AS content_sha,
+           unnest(regexp_extract_all(text, '[a-z]+')) AS value
+    FROM documents
+    """,
+)
+def harvest_word_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("content_sha"),
+        F.explode(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("value"),
+    )
+
+
+@query(
+    "release_rollup_per_source",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT sha256(text)) AS n_unique_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def release_rollup_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_unique_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "content_hash_invariant",
+    "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+)
+def content_hash_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("content_sha")
+    )
+
+
+# ===========================================================================
+# §2.3 — range (bbox-analog) join
+# ===========================================================================
+
+@query(
+    "range_band_join",
+    """
+    SELECT d.doc_id, b.band
+    FROM documents d
+    JOIN (VALUES ('short', 0, 100), ('mid', 100, 140), ('long', 140, 100000))
+         AS b(band, lo, hi)
+      ON d.n_chars >= b.lo AND d.n_chars < b.hi
+    """,
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bands = spark.createDataFrame(
+        [("short", 0, 100), ("mid", 100, 140), ("long", 140, 100000)],
+        "band string, lo long, hi long",
+    )
+    return d.join(
+        F.broadcast(bands),
+        (d.n_chars >= bands.lo) & (d.n_chars < bands.hi),
+    ).select("doc_id", "band")
+
+
+# ===========================================================================
+# §2.8 — sessionization (incremental/stream-shaped window over events)
+# ===========================================================================
+
+@query(
+    "events_sessionize",
+    """
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+    FROM x GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet yields TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    new_s = F.when(
+        F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        e.select("user_id", new_s.alias("new_s"))
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"))
+    )
+
+
+# ===========================================================================
+# Dedup family (training-data ops): exact, n-gram jaccard, embedding cosine
+# ===========================================================================
+
+@query(
+    "dedup_exact_by_fingerprint",
+    """
+    SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM (SELECT doc_id,
+                 sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+          FROM documents)
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = F.sha2(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), 256)
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+    )
+
+
+def _doc_shingles_spark(col):
+    lowered = col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(lowered) - 3, F.lit(0))),
+            lambda i: F.substr(lowered, i + 1, F.lit(3)),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(0, greatest(len(text)-2, 1)),
+                                          i -> substr(text, i+1, 3))) AS s
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", _doc_shingles_spark(F.col("text")).alias("s")
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("source"), F.col("s").alias("sa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("source"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= 0.7)
+        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jac"))
+    )
+
+
+def _cosine(e_a, e_b):
+    dot = F.aggregate(
+        F.zip_with(e_a, e_b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.transform(e_a, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    nb = F.sqrt(F.aggregate(F.transform(e_b, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    return dot / (na * nb)
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+          >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(_cosine(F.col("ea"), F.col("eb")) >= 0.45)
+        .select("vec_a", "vec_b")
+    )
+
+
+# ===========================================================================
+# Similarity search — brute-force cosine top-k (ANN baseline)
+# ===========================================================================
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings)
+    SELECT qid, cid, rank FROM (
+      SELECT q.qid, c.cid,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+               DESC, c.cid) AS rank
+      FROM q, c WHERE q.qid != c.cid)
+    WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = v.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("e").alias("eq"))
+    c = v.select(F.col("vec_id").alias("cid"), F.col("e").alias("ec"))
+    sim = _cosine(F.col("eq"), F.col("ec"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "cid", "rank")
+    )
+
+
+# ===========================================================================
+# Text analysis: language-ID heuristic, quality score, token counts
+# ===========================================================================
+
+_EN = ["the", "and", "of", "to", "in", "is", "that", "it"]
+_ES = ["el", "la", "de", "que", "y", "en", "un", "los"]
+_FR = ["le", "la", "de", "et", "les", "des", "un", "une"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@query(
+    "lang_id_heuristic",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(ts) = 0 THEN 'unknown'
+                WHEN len(list_filter(ts, x -> x IN ({_sql_list(_EN)}))) >=
+                     len(list_filter(ts, x -> x IN ({_sql_list(_ES)})))
+                 AND len(list_filter(ts, x -> x IN ({_sql_list(_EN)}))) >=
+                     len(list_filter(ts, x -> x IN ({_sql_list(_FR)})))
+                THEN 'en'
+                WHEN len(list_filter(ts, x -> x IN ({_sql_list(_ES)}))) >=
+                     len(list_filter(ts, x -> x IN ({_sql_list(_FR)})))
+                THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM tok
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ts = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+
+    def hits(words):
+        return F.size(F.filter(ts, lambda x: x.isin(words)))
+
+    en, es, fr = hits(_EN), hits(_ES), hits(_FR)
+    return d.select(
+        "doc_id",
+        F.when(F.size(ts) == 0, "unknown")
+        .when((en >= es) & (en >= fr), "en")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+        .alias("pred_lang"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+           round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                                      x -> x IN ({_sql_list(_EN)}))) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '[a-z]+')), 1), 6)
+                 AS stopword_ratio
+    FROM documents
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)
+    lwords = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    punct = F.regexp_extract_all(F.col("text"), F.lit("[.,;:!?]"), 0)
+    stop = F.filter(lwords, lambda x: x.isin(_EN))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.size(words).cast("long").alias("n_words"),
+        F.round(F.size(punct) / F.greatest(F.length("text"), F.lit(1)), 6).alias("punct_ratio"),
+        F.round(F.size(stop) / F.greatest(F.size(words), F.lit(1)), 6).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).cast("long").alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sha2(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")), 256).alias("fingerprint"),
+    )
+
+
+# ===========================================================================
+# §2.1 scan shape — projection+filter pushdown
+# ===========================================================================
+
+@query(
+    "scan_pushdown_projection",
+    """
+    SELECT l_orderkey, l_extendedprice FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+    """,
+)
+def scan_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+# ===========================================================================
+# Rows-only queries (non-SQL-expressible; driver records weaker check)
+# ===========================================================================
+
+def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG slice on the deterministic synthetic corpus: extract →
+    alias-link → LSH+CC canonicalize → triples.  Pure-JVM extraction
+    path keeps the driver's session independent of Python-worker module
+    shipping; the pandas-UDF path is exercised by entry() and tests."""
+    from .operators.canonicalize import canonicalize_values
+    from .operators.extract import extract_mentions_relational
+    from .operators.linking import link_by_alias, lsh_candidate_pairs
+    from .operators.materialize import build_triples
+    from .operators.extract import with_content_sha
+    from .synth import alias_df, synth_files
+
+    files = with_content_sha(synth_files(spark, n_files=500))
+    mentions = extract_mentions_relational(files)
+    linked = link_by_alias(mentions, alias_df(spark))
+    ident = mentions.filter(F.col("kind") == "identifier")
+    edges = lsh_candidate_pairs(ident.select("value"))
+    ents = canonicalize_values(ident.select("value"), edges)
+    return build_triples(files, linked, ident, ents, run_id="driver")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates over documents (xxhash64-based —
+    not reproducible in DuckDB, so rows-only; exact-jaccard twin
+    `dedup_ngram_jaccard` is the oracle-checked variant)."""
+    from .operators.linking import lsh_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    return lsh_candidate_pairs(d, jaccard_threshold=0.7, max_bucket=128)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + banded near-dup pairs (hamming ≤ 8
+    verified with bit_count(xor)); all built-in column expressions."""
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    # short same-vocab docs collide easily on simhash: keep a tight radius
+    return simhash_pairs(d, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed ANN (scale path for ann_cosine_topk)."""
+    from .operators.similarity import lsh_ann_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 5)
+    return lsh_ann_topk(q, v, k=10)
+
+
+_ROWS_ONLY: dict[str, Query] = {
+    "kg_pipeline_triples": kg_pipeline_triples,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+}
+
+
+def all_queries() -> dict[str, Query]:
+    out = dict(_SPARK_QUERIES)
+    out.update(_ROWS_ONLY)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLE_SQL)

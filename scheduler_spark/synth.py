@@ -150,6 +150,31 @@ def _base_columns(file_id: Column, n_repos: int, mega_pct: int) -> dict[str, Col
     }
 
 
+def _filler(file_id: Column, lang: Column, n_lines: int) -> Column:
+    """Realistic file bulk: comment lines that match no mention pattern.
+
+    Real source files are KBs, not the ~150 B of the planted template
+    alone; extraction cost is proportional to bytes scanned, so the
+    filler keeps the workload extraction-bound like the real corpus.
+    Deterministic per file (seeded by file_id), mention-free by
+    construction (no import/def/func keywords, no URIs, no parens).
+    """
+    if n_lines <= 0:
+        return F.lit("")
+    marker = F.when(lang == "python", F.lit("# ")).otherwise(F.lit("// "))
+    words = _arr(IDENT_WORDS)
+    line = F.concat(
+        marker,
+        F.lit("filler "),
+        F.element_at(words, _pick(file_id, "fill_a", len(IDENT_WORDS)) + 1),
+        F.lit(" "),
+        F.element_at(words, _pick(file_id, "fill_b", len(IDENT_WORDS)) + 1),
+        F.lit(" lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+        F.lit(" eiusmod tempor incididunt ut labore et dolore magna aliqua\n"),
+    )
+    return F.repeat(line, n_lines)
+
+
 def _content(c: dict[str, Column]) -> Column:
     nl = F.lit("\n")
     py = F.concat(
@@ -186,16 +211,25 @@ def synth_files(
     n_repos: int = 40,
     mega_pct: int = 50,
     partitions: int | None = None,
+    filler_lines: int = 12,
 ) -> DataFrame:
-    """The input corpus: deterministic `(repo, path, commit, lang, content)`."""
+    """The input corpus: deterministic `(repo, path, commit, lang, content)`.
+
+    filler_lines pads each file with mention-free comment bulk (~110 B
+    per line) so per-file size matches real code (~KBs); pass 0 for the
+    minimal template.
+    """
     base = spark.range(n_files, numPartitions=partitions)
     c = _base_columns(F.col("id"), n_repos, mega_pct)
+    content = F.concat(
+        _content(c), _filler(F.col("id"), c["lang"], filler_lines)
+    )
     df = base.select(
         c["repo"].alias("repo"),
         c["path"].alias("path"),
         c["commit"].alias("commit"),
         c["lang"].alias("lang"),
-        _content(c).alias("content"),
+        content.alias("content"),
     )
     return enforce(df, FILES)
 

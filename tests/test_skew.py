@@ -1,0 +1,63 @@
+"""Skew handling: the mega-repo (≥50% of rows) must not serialize into
+one task (FIXTURES.md F6; north_rule: salted repartition + AQE)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scheduler_spark.operators.extract import extract_mentions, with_content_sha
+from scheduler_spark.synth import MEGA_REPO, synth_files
+
+
+def test_corpus_is_actually_skewed(spark):
+    files = synth_files(spark, n_files=2000)
+    per_repo = files.groupBy("repo").count()
+    mega = per_repo.filter(F.col("repo") == MEGA_REPO).first()["count"]
+    total = files.count()
+    assert mega / total > 0.4  # the skew fixture is real
+
+
+def test_salting_bounds_partition_sizes(spark):
+    files = with_content_sha(synth_files(spark, n_files=2000))
+    salt = 8
+    n_parts = 16
+
+    def max_partition(df):
+        return max(
+            r["count"]
+            for r in df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid").count().collect()
+        )
+
+    unsalted_max = max_partition(files.repartition(n_parts, F.col("repo")))
+    salted = files.repartition(
+        n_parts, F.col("repo"), F.pmod(F.xxhash64("path"), F.lit(salt))
+    )
+    salted_max = max_partition(salted)
+    mega_rows = files.filter(F.col("repo") == MEGA_REPO).count()
+
+    # unsalted, the mega repo pins all its rows into one task
+    assert unsalted_max >= mega_rows
+    # salting splits it: no single (repo, salt) group exceeds ~mega/salt,
+    # so the worst task shrinks materially (residual imbalance is plain
+    # hash-bin variance, which AQE smooths at real partition counts)
+    assert salted_max <= unsalted_max / 2, (salted_max, unsalted_max)
+    key_sizes = (
+        salted.groupBy("repo", F.pmod(F.xxhash64("path"), F.lit(salt)).alias("s"))
+        .count().agg(F.max("count")).first()[0]
+    )
+    assert key_sizes <= 1.5 * mega_rows / salt, key_sizes
+
+
+def test_extraction_correct_under_salting(spark):
+    files = with_content_sha(synth_files(spark, n_files=500))
+    plain = {
+        tuple(r)
+        for r in extract_mentions(files).select("content_sha", "kind", "value").collect()
+    }
+    salted = files.repartition(16, F.col("repo"), F.pmod(F.xxhash64("path"), F.lit(8)))
+    got = {
+        tuple(r)
+        for r in extract_mentions(salted).select("content_sha", "kind", "value").collect()
+    }
+    assert got == plain

@@ -1,0 +1,52 @@
+"""Structured Streaming ingest: AvailableNow drain + exactly-once resume
+(streaming twin of the fingerprint anti-join; §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scheduler_spark.schema import FILES
+from scheduler_spark.streaming.ingest import run_available_now, windowed_source_counts
+from scheduler_spark.synth import synth_files
+
+
+def test_available_now_processes_only_new_files(spark, tmp_path):
+    src = str(tmp_path / "files_src")
+    out = str(tmp_path / "mentions_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    synth_files(spark, n_files=50).write.mode("append").parquet(src)
+    run_available_now(spark, src, FILES, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    # drain again with no new data → nothing appended
+    run_available_now(spark, src, FILES, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # new batch lands → only the delta is processed
+    synth_files(spark, n_files=80).filter(
+        F.xxhash64("path") % 2 == 0
+    ).write.mode("append").parquet(src)
+    run_available_now(spark, src, FILES, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n2 > n1
+
+
+def test_windowed_counts_batch_semantics(spark):
+    rows = [
+        ("2024-01-01 00:10:00", "click"),
+        ("2024-01-01 00:20:00", "click"),
+        ("2024-01-01 01:10:00", "click"),
+        ("2024-01-01 00:30:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (str(r.window_start), r.event_type): r.n
+        for r in windowed_source_counts(df).collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == 2
+    assert got[("2024-01-01 01:00:00", "click")] == 1
+    assert got[("2024-01-01 00:00:00", "view")] == 1
