@@ -1,0 +1,142 @@
+"""Export sinks — the reference's fan-out stage (SURVEY.md §2.1, E3).
+
+Implemented Spark-first:
+
+- **Release-graph artifacts**: one gzip n-quads file per source
+  (`graphs/latest/<source>_release.nq.gz`,
+  /root/reference/userCode/defs_test.py:68) becomes a partitioned
+  gzip text write of formatted quad lines.
+- **Layout-controlled parquet** (≈ geoparquet export with Hilbert
+  ordering + 4 MB row groups, /root/reference/userCode/assetGroups/
+  export.py:147-153): `sortWithinPartitions` on a space-filling
+  (Morton/Z-order) key + `parquet.block.size`.  Z-order instead of
+  Hilbert: both cluster spatially-near rows into the same row groups;
+  Z-order is expressible as a pure column expression (bit interleave).
+- **JDBC sink** (≈ PostGIS `to_postgis(chunksize=100_000)`,
+  export.py:356-391): thin wrapper pinning batchsize/mode; index DDL
+  stays a post-step exactly as in the reference.
+
+Out-of-scope external sinks (OCI, Zenodo, lakeFS, qlever) are shell
+steps over these artifacts, not engine operators; lakeFS semantics are
+covered by the catalog snapshot log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _iri(col: Column) -> Column:
+    """Angle-bracket an IRI, escaping the characters n-quads forbids."""
+    cleaned = F.regexp_replace(col, r"[\x00-\x20<>\"{}|^`\\]", "_")
+    return F.concat(F.lit("<"), cleaned, F.lit(">"))
+
+
+def to_nquads(triples: DataFrame) -> DataFrame:
+    """TRIPLES → one n-quads line per row: `<s> <p> <o> <g> .`
+
+    The graph term is the run-context 4th element
+    (/root/reference/docs/hdt.md:3-8).  Keeps `src_partition` for the
+    partitioned write.
+    """
+    return triples.select(
+        "src_partition",
+        F.concat_ws(
+            " ",
+            _iri(F.col("subj")),
+            _iri(F.concat(F.lit("kg:"), F.col("pred"))),
+            _iri(F.col("obj")),
+            _iri(F.col("graph")),
+            F.lit("."),
+        ).alias("line"),
+    )
+
+
+def write_release_graphs(triples: DataFrame, out_dir: str) -> None:
+    """Per-source compressed release artifacts (idempotent overwrite).
+
+    Dynamic partition overwrite replaces exactly the sources present —
+    the run_key idempotence contract.  One file per source partition
+    keeps parity with `<source>_release.nq.gz` (coalesce within the
+    partition happens naturally because the write is partition-wise).
+    """
+    (
+        to_nquads(triples)
+        .repartition("src_partition")
+        .write.mode("overwrite")
+        .partitionBy("src_partition")
+        .option("compression", "gzip")
+        .text(out_dir)
+    )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton/Z-order interleave of two non-negative ints (bits each).
+
+    Space-filling key for layout clustering — rows near in (x, y) land
+    in the same parquet row groups, so bbox-style range predicates prune
+    row groups (the Hilbert-sort analog, export.py:151).
+    """
+    xs = x.cast("long")
+    ys = y.cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        xbit = F.shiftright(xs, i).bitwiseAND(F.lit(1))
+        ybit = F.shiftright(ys, i).bitwiseAND(F.lit(1))
+        out = out.bitwiseOR(F.shiftleft(xbit, 2 * i)).bitwiseOR(
+            F.shiftleft(ybit, 2 * i + 1)
+        )
+    return out
+
+
+def quantize(col: Column, lo: float, hi: float, bits: int = 16) -> Column:
+    """Map a double in [lo, hi] to an int in [0, 2^bits)."""
+    scale = (2**bits - 1) / (hi - lo)
+    q = F.floor((col - F.lit(lo)) * F.lit(scale)).cast("long")
+    return F.greatest(F.least(q, F.lit(2**bits - 1)), F.lit(0))
+
+
+def write_spatial_parquet(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    x_range: tuple[float, float] = (-180.0, 180.0),
+    y_range: tuple[float, float] = (-90.0, 90.0),
+    row_group_bytes: int = 4 * 1024 * 1024,
+) -> None:
+    """Layout-controlled export: Z-order row clustering + small row
+    groups (≈ 4 MB groups + bbox metadata in the reference)."""
+    key = zorder_key(
+        quantize(F.col(x_col), *x_range), quantize(F.col(y_col), *y_range)
+    )
+    (
+        df.withColumn("_zkey", key)
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", row_group_bytes)
+        .parquet(path)
+    )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batchsize: int = 100_000,
+    **options: str,
+) -> None:
+    """JDBC sink with the reference's 100k-row batches (export.py:370)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()

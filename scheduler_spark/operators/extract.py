@@ -158,6 +158,32 @@ def with_content_sha(files: DataFrame) -> DataFrame:
     return files.withColumn("content_sha", F.sha2(F.col("content"), 256))
 
 
+def extract_mentions_grouped(files: DataFrame, salt: int = 8) -> DataFrame:
+    """Grouped-map variant: applyInPandas over (repo, salt) groups.
+
+    Same extraction as `extract_mentions`, but each invocation sees one
+    salted repo slice — the §2.9 `applyInPandas` surface for per-repo
+    work that needs the whole group in hand (e.g. repo-level stats
+    alongside extraction).  Salting bounds group size so a mega-repo
+    never materializes as one pandas frame (north_rule skew handling).
+    """
+    if "content_sha" not in files.columns:
+        files = with_content_sha(files)
+    src = files.select(
+        "content_sha", "repo", "path", "commit", "lang", "content"
+    ).withColumn("_salt", F.pmod(F.xxhash64("path"), F.lit(salt)))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _extract_batch(pdf.drop(columns=["_salt"]))
+
+    flat = src.groupBy("repo", "_salt").applyInPandas(run, schema=_FLAT_SCHEMA)
+    out = flat.select(
+        "content_sha", "repo", "path", "commit", "kind", "value",
+        F.struct(F.col("start").alias("start"), F.col("end").alias("end")).alias("span"),
+    )
+    return enforce(out, MENTIONS)
+
+
 def extract_mentions(files: DataFrame) -> DataFrame:
     """files(+content_sha) → MENTIONS via Arrow-batched pandas UDF."""
     if "content_sha" not in files.columns:

@@ -39,6 +39,16 @@ MENTIONS_TABLE = "mentions"
 TRIPLES_TABLE = "triples"
 CHECKPOINT_TABLE = "checkpoint"
 LINEAGE_TABLE = "lineage"
+QUARANTINE_TABLE = "quarantine"
+
+# a source file beyond this is treated as malformed input (binary blob,
+# generated bundle) — quarantined, not extracted
+MAX_CONTENT_BYTES = 10 * 1024 * 1024
+
+
+class StrictModeError(RuntimeError):
+    """Raised when strict=True and any row was quarantined (the
+    reference's `exit_3_is_fatal` escalation, lib/utils.py:89-97)."""
 
 
 @dataclass
@@ -48,6 +58,7 @@ class PipelineResult:
     n_triples: int
     snapshot_id: int
     skipped: bool = False
+    n_quarantined: int = 0
 
 
 def run_pipeline(
@@ -58,8 +69,40 @@ def run_pipeline(
     run_id: str,
     salt: int = 8,
     extraction_partitions: int | None = None,
+    strict: bool = False,
 ) -> PipelineResult:
-    """One incremental sync of the corpus into the triples table."""
+    """One incremental sync of the corpus into the triples table.
+
+    Malformed rows (null/oversized content) are quarantined with a
+    reason and the run continues — the reference's non-fatal partial
+    failure (exit 3 ⇒ warn, /root/reference/userCode/lib/utils.py:89-97);
+    strict=True escalates to StrictModeError after recording them.
+    """
+    # -- 0. validation / quarantine (partial-failure tolerance) ----------
+    reason = (
+        F.when(F.col("content").isNull(), "null_content")
+        .when(F.length("content") > MAX_CONTENT_BYTES, "oversized_content")
+        .otherwise(F.lit(None))
+    )
+    tagged = files.withColumn("_reason", reason)
+    bad = tagged.filter(F.col("_reason").isNotNull())
+    n_quarantined = bad.count()
+    if n_quarantined:
+        catalog.append(
+            bad.select(
+                "repo", "path", "commit",
+                F.col("_reason").alias("reason"),
+                F.lit(run_id).alias("run_id"),
+            ),
+            QUARANTINE_TABLE,
+            properties={"run_id": run_id, "rows": n_quarantined},
+        )
+        if strict:
+            raise StrictModeError(
+                f"{n_quarantined} rows quarantined in strict mode (run {run_id})"
+            )
+    files = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+
     files_sha = with_content_sha(files)
 
     # -- 1. dirty-partition selection (bytesum-skip analog) --------------
@@ -72,7 +115,10 @@ def run_pipeline(
     dirty = dirty_partitions(fp, checkpoint).localCheckpoint()
     n_dirty = dirty.count()
     if n_dirty == 0:
-        return PipelineResult(run_id, 0, 0, catalog.current_snapshot_id(TRIPLES_TABLE), skipped=True)
+        return PipelineResult(
+            run_id, 0, 0, catalog.current_snapshot_id(TRIPLES_TABLE),
+            skipped=True, n_quarantined=n_quarantined,
+        )
 
     dirty_keys = dirty.select(F.col("partition").alias("repo"))
     subset = files_sha.join(dirty_keys, "repo", "left_semi")
@@ -117,4 +163,6 @@ def run_pipeline(
 
     mentions.unpersist()
     triples.unpersist()
-    return PipelineResult(run_id, n_dirty, n_triples, snapshot_id)
+    return PipelineResult(
+        run_id, n_dirty, n_triples, snapshot_id, n_quarantined=n_quarantined
+    )

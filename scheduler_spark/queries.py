@@ -955,6 +955,36 @@ def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_triples(files, linked, ident, ents, run_id="driver")
 
 
+def kg_3hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-store chain query — the analog of the reference's golden
+    3-hop SPARQL (?pid referencedPosition ?r . ?r HY_IndirectPosition ?i
+    . ?i linearElement ?m, defs_test.py:104-116): two self-joins of the
+    triples table on obj=subj-style keys, DISTINCT, ORDER BY.
+
+    Here: fileA —defines→ ident ←defines— fileB —links_to→ entity, i.e.
+    entities reachable from a file through a shared canonical
+    identifier."""
+    t = kg_pipeline_triples(spark, sf_dir).localCheckpoint()
+    defines = t.filter(F.col("pred") == "defines").select(
+        F.col("subj").alias("file_a"), F.col("obj").alias("ident")
+    )
+    defines_b = t.filter(F.col("pred") == "defines").select(
+        F.col("subj").alias("file_b"), F.col("obj").alias("ident")
+    )
+    links = t.filter(F.col("pred") == "links_to").select(
+        F.col("subj").alias("file_b"), F.col("obj").alias("entity")
+    )
+    return (
+        defines.join(defines_b, "ident")
+        .filter(F.col("file_a") != F.col("file_b"))
+        .join(links, "file_b")
+        .select("file_a", "entity")
+        .distinct()
+        .orderBy("file_a", "entity")
+        .limit(1000)
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates over documents (xxhash64-based —
     not reproducible in DuckDB, so rows-only; exact-jaccard twin
@@ -984,11 +1014,23 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(q, v, k=10)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (driver-trained k-means, broadcast
+    centroids, n_probes cells scanned per query)."""
+    from .operators.similarity import ivf_ann_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 5)
+    return ivf_ann_topk(q, v, k=10, n_lists=8, n_probes=2)
+
+
 _ROWS_ONLY: dict[str, Query] = {
     "kg_pipeline_triples": kg_pipeline_triples,
+    "kg_3hop_chain": kg_3hop_chain,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "ann_lsh_bucketed": ann_lsh_bucketed,
+    "ann_ivf": ann_ivf,
 }
 
 

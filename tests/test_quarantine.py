@@ -1,0 +1,62 @@
+"""Partial-failure tolerance: malformed rows quarantined with reason,
+run continues; strict mode escalates (≈ exit-3 semantics,
+/root/reference/userCode/lib/utils.py:89-97; FIXTURES.md F6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scheduler_spark.catalog import Catalog
+from scheduler_spark.pipeline import (
+    QUARANTINE_TABLE,
+    TRIPLES_TABLE,
+    StrictModeError,
+    run_pipeline,
+)
+from scheduler_spark.synth import alias_df, synth_files
+
+
+def _with_bad_rows(spark, n=100):
+    good = synth_files(spark, n_files=n)
+    bad = spark.createDataFrame(
+        [
+            ("bad/repo", "null.py", "a" * 40, "python", None),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    return good.unionByName(bad)
+
+
+def test_bad_rows_quarantined_run_continues(spark, tmp_path):
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    res = run_pipeline(
+        spark, _with_bad_rows(spark), alias_df(spark), catalog, run_id="q1"
+    )
+    assert res.n_quarantined == 1
+    assert res.n_triples > 0  # the good rows still flowed through
+    q = catalog.read(QUARANTINE_TABLE)
+    row = q.first()
+    assert row.reason == "null_content" and row.repo == "bad/repo"
+    # quarantined rows never reach the graph
+    triples = catalog.read(TRIPLES_TABLE)
+    assert triples.filter(F.col("src_partition") == "bad/repo").count() == 0
+
+
+def test_strict_mode_escalates_after_recording(spark, tmp_path):
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    with pytest.raises(StrictModeError):
+        run_pipeline(
+            spark, _with_bad_rows(spark), alias_df(spark), catalog,
+            run_id="q2", strict=True,
+        )
+    # the quarantine record was still written before the raise
+    assert catalog.read(QUARANTINE_TABLE).count() == 1
+
+
+def test_clean_corpus_quarantines_nothing(spark, tmp_path):
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    res = run_pipeline(
+        spark, synth_files(spark, 50), alias_df(spark), catalog, run_id="q3", strict=True
+    )
+    assert res.n_quarantined == 0
