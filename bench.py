@@ -66,9 +66,12 @@ def main() -> None:
     from scheduler_spark.synth import alias_df, synth_files
     from pyspark.sql import functions as F
 
-    files = with_content_sha(synth_files(spark, KG_BENCH_FILES, partitions=cpus * 2))
+    files = with_content_sha(
+        synth_files(spark, KG_BENCH_FILES, partitions=cpus * 2)
+    ).localCheckpoint()
+    files.count()  # corpus generation is the data source, not the job
     t0 = time.perf_counter()
-    mentions = extract_mentions(files)
+    mentions = extract_mentions(files).cache()  # feeds four branches
     linked = link_by_alias(mentions, alias_df(spark))
     ident = mentions.filter(F.col("kind") == "identifier")
     edges = lsh_candidate_pairs(ident.select("value"))
@@ -76,6 +79,7 @@ def main() -> None:
     triples = build_triples(files, linked, ident, ents, run_id="bench")
     n_triples = triples.count()
     kg_sec = time.perf_counter() - t0
+    mentions.unpersist()
 
     total = round(sum(per_query.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -141,10 +141,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-set Jaccard within blocks (O(block²) — the verify
     step behind LSH blocking; standalone only for bounded blocks)."""
+    # 64-bit shingle hashes: integer intersects are ~2x faster than
+    # string intersects and preserve set sizes (collision odds ~1e-15)
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.length(text_col) - n, F.lit(0))),
-            lambda i: F.substr(F.col(text_col), i + 1, F.lit(n)),
+            lambda i: F.xxhash64(F.substr(F.col(text_col), i + 1, F.lit(n))),
         )
     )
     base = df.select(

@@ -652,6 +652,57 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "windowed_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts — the batch twin of the streaming
+    windowed aggregation (streaming/ingest.windowed_source_counts)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "from_json_typed",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+    FROM events
+    """,
+)
+def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parse (from_json → struct), vs the
+    path-extraction variant in json_extract_props."""
+    e = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return e.select("event_id", parsed["k"].alias("k_typed"))
+
+
+@query(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # ===========================================================================
 # Dedup family (training-data ops): exact, n-gram jaccard, embedding cosine
 # ===========================================================================
@@ -707,18 +758,46 @@ def _doc_shingles_spark(col):
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-preserving optimizations over the naive pair loop:
+    # - per-doc shingle-set size precomputed once (not per pair)
+    # - size-band prune BEFORE the array intersect: J ≥ t forces
+    #   t·|B| ≤ |A| ≤ |B|/t, and size compares are codegen-cheap
+    # - |A∪B| = |A|+|B|−|A∩B| (distinct shingles), saving a second
+    #   array traversal per pair
+    # intersect 64-bit shingle hashes, not 3-char strings: integer
+    # equality beats string hashing per probe, and |set| is preserved
+    # (in-doc hash collision odds ~1e-15)
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", _doc_shingles_spark(F.col("text")).alias("s")
+        "doc_id", "source",
+        F.array_distinct(
+            F.transform(_doc_shingles_spark(F.col("text")), lambda s: F.xxhash64(s))
+        ).alias("s"),
+    ).withColumn("n", F.size("s"))
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "source",
+        F.col("s").alias("sa"), F.col("n").alias("na"),
     )
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("source"), F.col("s").alias("sa"))
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("source"), F.col("s").alias("sb"))
-    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "source",
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    # Catalyst's CollapseProject inlines a withColumn'd `inter` into
+    # every reference — `i/(na+nb-i)` would evaluate array_intersect
+    # TWICE per pair.  The filter form 1.7·i ≥ 0.7·(na+nb) references i
+    # once (algebraically identical for na+nb-i > 0); the exact jac is
+    # then recomputed only for the handful of survivors.
     return (
         a.join(b, "source")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jac_raw", jac)
-        .filter(F.col("jac_raw") >= 0.7)
-        .select("doc_a", "doc_b", F.round("jac_raw", 6).alias("jac"))
+        .filter(
+            (F.col("na") >= 0.7 * F.col("nb")) & (F.col("nb") >= 0.7 * F.col("na"))
+        )
+        .filter(inter * F.lit(1.7) >= F.lit(0.7) * (F.col("na") + F.col("nb")))
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter / (F.col("na") + F.col("nb") - inter), 6).alias("jac"),
+        )
     )
 
 
@@ -743,15 +822,27 @@ def _cosine(e_a, e_b):
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    # norms hoisted out of the O(n²) pair loop: cosine per pair is one
+    # zip_with/aggregate (dot) instead of three
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
     )
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    v = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("nrm", norm)
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(_cosine(F.col("ea"), F.col("eb")) >= 0.45)
+        .filter(dot / (F.col("na") * F.col("nb")) >= 0.45)
         .select("vec_a", "vec_b")
     )
 
