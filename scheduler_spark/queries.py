@@ -51,18 +51,21 @@ def query(name: str, sql: str | None = None):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(l_quantity) AS DOUBLE)      AS sum_qty,
-           CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
-           CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS DOUBLE) AS sum_charge,
-           avg(l_quantity)       AS avg_qty,
-           avg(l_extendedprice)  AS avg_price,
-           avg(l_discount)       AS avg_disc,
-           count(*)              AS count_order
+           round(CAST(sum(l_quantity) AS DOUBLE), 2)      AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS DOUBLE), 2) AS sum_charge,
+           round(avg(l_quantity), 6)      AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6)      AS avg_disc,
+           count(*)                       AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
+    # sums/avgs rounded on BOTH sides: Spark's partial aggregation and
+    # DuckDB's accumulation sum doubles in different orders, so raw
+    # bit-exact comparison would fail on last-ulp noise.
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -70,16 +73,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("double").alias("sum_qty"),
-            F.sum("l_extendedprice").cast("double").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            .cast("double").alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-            ).cast("double").alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            F.round(F.sum("l_quantity").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice").cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ).cast("double"),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -93,7 +100,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE) AS revenue,
+           round(CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE), 2) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -115,8 +122,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            .cast("double").alias("revenue")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"),
+                2,
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -131,7 +140,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_supplier_volume",
     """
-    SELECT n_name, CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE) AS revenue
+    SELECT n_name, round(CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE), 2) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -160,8 +169,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            .cast("double").alias("revenue")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"),
+                2,
+            ).alias("revenue")
         )
     )
 
@@ -243,9 +254,9 @@ def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     "window_running_customer_spend",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           round(CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
                 ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
            AS running_spend
     FROM orders
     """,
@@ -259,7 +270,7 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return o.select(
         "o_custkey", "o_orderkey",
-        F.sum("o_totalprice").over(w).cast("double").alias("running_spend"),
+        F.round(F.sum("o_totalprice").over(w).cast("double"), 2).alias("running_spend"),
     )
 
 
