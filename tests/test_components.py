@@ -8,32 +8,61 @@ from scheduler_spark.operators.canonicalize import canonicalize_values, pick_rep
 from scheduler_spark.operators.components import connected_components
 
 
-def _cc(spark, pairs):
+import pytest
+
+
+def _cc(spark, pairs, **kw):
     edges = spark.createDataFrame(pairs, "src_entity string, dst_entity string")
     return {
-        r.entity_id: r.canonical_id for r in connected_components(edges).collect()
+        r.entity_id: r.canonical_id
+        for r in connected_components(edges, **kw).collect()
     }
 
 
-def test_two_components(spark):
-    got = _cc(spark, [("b", "a"), ("c", "b"), ("y", "z")])
+# threshold=0 forces the distributed large-star/small-star loop;
+# the default exercises the driver union-find fast path — both paths
+# must produce identical labelings.
+@pytest.mark.parametrize("kw", [{}, {"small_graph_threshold": 0}], ids=["driver", "distributed"])
+def test_two_components(spark, kw):
+    got = _cc(spark, [("b", "a"), ("c", "b"), ("y", "z")], **kw)
     assert got == {"a": "a", "b": "a", "c": "a", "y": "y", "z": "y"}
 
 
-def test_long_chain_converges(spark):
+@pytest.mark.parametrize("kw", [{}, {"small_graph_threshold": 0}], ids=["driver", "distributed"])
+def test_long_chain_converges(spark, kw):
     # a chain of 40 nodes exercises the O(log n) star contraction
     chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(40)]
-    got = _cc(spark, chain)
+    got = _cc(spark, chain, **kw)
     assert set(got.values()) == {"n00"}
     assert len(got) == 41
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    import random
+
+    rng = random.Random(3)
+    pairs = [
+        (f"v{rng.randrange(200):03d}", f"v{rng.randrange(200):03d}")
+        for _ in range(300)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    fast = _cc(spark, pairs)
+    dist = _cc(spark, pairs, small_graph_threshold=0)
+    assert fast == dist
 
 
 def test_result_partition_order_independent(spark):
     pairs = [("b", "a"), ("c", "b"), ("d", "c"), ("y", "z")]
     e1 = spark.createDataFrame(pairs, "src_entity string, dst_entity string").repartition(1)
     e8 = spark.createDataFrame(list(reversed(pairs)), "src_entity string, dst_entity string").repartition(8)
-    r1 = {(r.entity_id, r.canonical_id) for r in connected_components(e1).collect()}
-    r8 = {(r.entity_id, r.canonical_id) for r in connected_components(e8).collect()}
+    r1 = {
+        (r.entity_id, r.canonical_id)
+        for r in connected_components(e1, small_graph_threshold=0).collect()
+    }
+    r8 = {
+        (r.entity_id, r.canonical_id)
+        for r in connected_components(e8, small_graph_threshold=0).collect()
+    }
     assert r1 == r8
 
 
