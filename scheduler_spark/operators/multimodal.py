@@ -94,6 +94,46 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=_FEATURES_SCHEMA)
 
 
+_FRAMES_SCHEMA = (
+    "media_id long, frame_no int, frame_sha string, frame_bytes long"
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 16) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled frame, Arrow-batched.  The frame *decode* is stubbed
+    (payload sliced at fixed strides stands in for keyframe extraction);
+    the engine-side contract — row explosion per media item, stable
+    frame numbering, per-frame hashes, batch shape — is real.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, shas, sizes = [], [], [], []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                raw = bytes(payload)
+                for frame_no, off in enumerate(range(0, len(raw), every_n_bytes)):
+                    chunk = raw[off : off + every_n_bytes]
+                    ids.append(media_id)
+                    nos.append(frame_no)
+                    shas.append(hashlib.sha256(chunk).hexdigest())
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_no": nos,
+                    "frame_sha": shas,
+                    "frame_bytes": sizes,
+                }
+            )
+
+    return media.mapInPandas(run, schema=_FRAMES_SCHEMA)
+
+
 def synth_media(spark, n: int = 100) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes)."""
     base = spark.range(n)

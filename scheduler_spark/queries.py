@@ -298,6 +298,20 @@ def except_building_without_orders(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "intersect_active_building_custkeys",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def intersect_active_building_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@query(
     "union_label_vocab",
     """
     SELECT DISTINCT o_orderpriority AS label FROM orders

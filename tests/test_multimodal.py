@@ -6,7 +6,28 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from scheduler_spark.operators.multimodal import extract_media_features, synth_media
+from scheduler_spark.operators.multimodal import (
+    extract_media_features,
+    sample_frames,
+    synth_media,
+)
+
+
+def test_frame_sampling_explodes_video_rows(spark):
+    media = synth_media(spark, n=24)
+    frames = sample_frames(media, every_n_bytes=16)
+    rows = frames.collect()
+    assert rows
+    video_ids = {r.media_id for r in media.filter("kind = 'video'").collect()}
+    assert {r.media_id for r in rows} == video_ids
+    # payload is 72 bytes → 5 frames of ≤16 bytes, numbered from 0
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r.media_id, []).append(r)
+    for mid, fr in per_media.items():
+        nos = sorted(f.frame_no for f in fr)
+        assert nos == list(range(len(nos)))
+        assert sum(f.frame_bytes for f in fr) == 72
 
 
 def test_features_schema_and_determinism(spark):
