@@ -98,3 +98,21 @@ class Catalog:
             return []
         with open(path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    def prune_snapshots(self, name: str, keep_last: int = 100, batch: int = 1000) -> int:
+        """Oldest-first batched snapshot-log cleanup (≈ the reference's
+        ascending limit-100k run-record purge,
+        /root/reference/userCode/instance.py:41-51).  Returns the number
+        of entries removed; ids keep monotonically increasing."""
+        snaps = self.snapshots(name)
+        if len(snaps) <= keep_last:
+            return 0
+        removed = 0
+        while len(snaps) > keep_last:
+            drop = min(batch, len(snaps) - keep_last)
+            snaps = snaps[drop:]  # oldest first
+            removed += drop
+        with open(self._snapshot_log(name), "w") as f:
+            for entry in snaps:
+                f.write(json.dumps(entry) + "\n")
+        return removed

@@ -68,6 +68,42 @@ def test_changed_partition_recomputed_others_untouched(spark, tmp_path):
     assert r3.skipped
 
 
+def test_new_partition_arriving_is_the_only_one_processed(spark, tmp_path):
+    """A source appearing between runs (new repo registered in the
+    catalog) is dirty-by-absence; everything else is skipped."""
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    aliases = alias_df(spark)
+    files = synth_files(spark, n_files=150).cache()
+    run_pipeline(spark, files, aliases, catalog, run_id="r1")
+    mtimes_before = _partition_mtimes(catalog, TRIPLES_TABLE)
+
+    newcomer = spark.createDataFrame(
+        [("new/repo", "a.py", "e" * 40, "python", "import lib1\ndef alpha_worker(x):\n    return x\n")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    r2 = run_pipeline(spark, files.unionByName(newcomer), aliases, catalog, run_id="r2")
+    assert r2.n_partitions_processed == 1
+    mtimes_after = _partition_mtimes(catalog, TRIPLES_TABLE)
+    assert "src_partition=new%2Frepo" in mtimes_after
+    for part, before in mtimes_before.items():
+        assert mtimes_after[part] == before, f"{part} was rewritten"
+
+
+def test_snapshot_log_pruning_oldest_first(spark, tmp_path):
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    df = spark.range(1).select(F.lit("x").alias("v"))
+    for _ in range(12):
+        catalog.overwrite(df, "t")
+    assert catalog.current_snapshot_id("t") == 12
+    removed = catalog.prune_snapshots("t", keep_last=5)
+    assert removed == 7
+    snaps = catalog.snapshots("t")
+    assert [s["snapshot_id"] for s in snaps] == list(range(8, 13))
+    # ids keep increasing after a prune
+    catalog.overwrite(df, "t")
+    assert catalog.current_snapshot_id("t") == 13
+
+
 def test_checkpoint_has_one_row_per_partition(spark, tmp_path):
     catalog = Catalog(root=str(tmp_path), spark=spark)
     files = synth_files(spark, n_files=200)
