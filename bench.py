@@ -30,9 +30,19 @@ HEADLINE = [
     "window_top_order_per_customer",
     "events_sessionize",
     "harvest_word_mentions",
+    # exact quadratic baselines (oracle ground truth, deliberately
+    # O(n²) — these are the recall yardsticks, not the pipeline paths)
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
+    # scale paths (the plans that survive 100×; round-over-round
+    # numbers should track THESE, per the round-1 verdict)
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "dedup_simhash",
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "bbox_intersect_join",
     "doc_quality_score",
 ]
 

@@ -46,10 +46,17 @@ class Catalog:
         properties: dict[str, Any] | None = None,
     ) -> int:
         """Replace exactly the partitions present in `df`
-        (spark.sql.sources.partitionOverwriteMode=dynamic), then commit
-        a snapshot entry.  Returns the new snapshot id."""
+        (partitionOverwriteMode=dynamic), then commit a snapshot entry.
+        Returns the new snapshot id.
+
+        The mode is set as a per-write option, not inherited from the
+        session: under the default STATIC mode this write would silently
+        delete every untouched partition, destroying the resume/
+        idempotence contract for any caller outside session.get_spark.
+        """
         (
             df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
             .parquet(self.table_path(name))
         )
@@ -62,6 +69,34 @@ class Catalog:
     def append(self, df: DataFrame, name: str, properties: dict[str, Any] | None = None) -> int:
         df.write.mode("append").parquet(self.table_path(name))
         return self._commit(name, "append", properties or {})
+
+    def delete_partitions(
+        self,
+        name: str,
+        partition_col: str,
+        keys: list[str],
+        properties: dict[str, Any] | None = None,
+    ) -> int:
+        """Drop whole partitions by key — metadata-only, no row scan
+        (≈ Iceberg `DELETE FROM t WHERE part IN (…)` / the reference's
+        stale-partition prune, /root/reference/userCode/lib/dagster.py:19-30).
+        Missing partitions are ignored (idempotent)."""
+        import shutil
+        from urllib.parse import quote
+
+        root = self.table_path(name)
+        dropped = []
+        for key in keys:
+            # Spark writes partition dirs with URL-encoded values
+            for enc in {str(key), quote(str(key), safe="")}:
+                p = os.path.join(root, f"{partition_col}={enc}")
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                    dropped.append(str(key))
+                    break
+        props = dict(properties or {})
+        props["dropped_partitions"] = sorted(set(dropped))
+        return self._commit(name, "delete_partitions", props)
 
     # -- reads ------------------------------------------------------------
     def read(self, name: str) -> DataFrame:

@@ -37,14 +37,19 @@ from ..schema import ENTITIES, enforce
 
 MAX_ITERATIONS = 25
 
-# Below this edge count the component graph is driver-trivial: one
+# Below these bounds the component graph is driver-trivial: one
 # collect + union-find beats ~10 Spark jobs of star iterations.  This is
 # the broadcast-join analog for iterative graph work — the *distinct
 # entity-pair* graph after LSH blocking is typically orders of magnitude
 # smaller than the corpus, so the small path is the common case; the
 # distributed loop remains the correctness path for genuinely huge
-# vocabularies.
+# vocabularies.  The gate is BYTE-aware, not just row-count-aware: a
+# row-count threshold alone would collect 100k edges of 1 KB entity
+# IRIs (~200 MB of Python strings) onto the driver; the byte budget is
+# measured from the actual id lengths in the same aggregate that counts
+# the edges, so the decision stays deterministic for a fixed edge set.
 SMALL_GRAPH_THRESHOLD = 100_000
+SMALL_GRAPH_MAX_BYTES = 32 * 1024 * 1024
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -111,6 +116,7 @@ def connected_components(
     dst: str = "dst_entity",
     max_iterations: int = MAX_ITERATIONS,
     small_graph_threshold: int = SMALL_GRAPH_THRESHOLD,
+    small_graph_max_bytes: int = SMALL_GRAPH_MAX_BYTES,
 ) -> DataFrame:
     """Edge list → ENTITIES(entity_id, canonical_id).
 
@@ -131,12 +137,20 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    n_edges = e.count()
+    # one aggregate decides the path: edge count AND estimated collect
+    # size (sum of id lengths) — both must fit the driver budget
+    size_row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum((F.length("u") + F.length("v")).cast("long")), F.lit(0)
+        ).alias("est_bytes"),
+    ).first()
+    n_edges, est_bytes = size_row["n"], size_row["est_bytes"]
     if n_edges == 0:
         return enforce(
             e.sparkSession.createDataFrame([], ENTITIES), ENTITIES
         )
-    if n_edges <= small_graph_threshold:
+    if n_edges <= small_graph_threshold and est_bytes <= small_graph_max_bytes:
         pairs = [(r["u"], r["v"]) for r in e.collect()]
         return enforce(_driver_union_find(e.sparkSession, pairs), ENTITIES)
 

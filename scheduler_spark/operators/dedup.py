@@ -11,9 +11,12 @@ All built-in column expressions — no Python workers:
 - exact: `sha2` fingerprint group-by.
 - SimHash: per-token 64-bit xxhash; each of the 64 bit positions votes
   ±1 weighted by token presence; the sign vector packs into a BIGINT.
-  Near-dup candidates are blocked on 4×16-bit bands (two docs within
-  hamming distance h<=16 must share ≥1 exact band by pigeonhole when
-  h < bands), then verified with `bit_count(xor)` — exact hamming.
+  Near-dup candidates are blocked on 4×16-bit bands: by pigeonhole two
+  docs share ≥1 exact band iff their hamming distance h ≤ bands-1 = 3,
+  so the banding GUARANTEES recall only for h ≤ 3 (pairs with 4+
+  differing bits are found only if the bits happen to cluster); the
+  survivors are verified with `bit_count(xor)` — exact hamming.  For a
+  guaranteed radius of h ≤ 8 use ≥ 9 bands.
 
 Scale notes: simhash is a narrow map (one pass, no shuffle); the band
 explode is ×4; the bucket self-join is bounded by bucket size exactly
@@ -23,7 +26,7 @@ keep bucket cardinality ~uniform.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -90,10 +93,16 @@ def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding + exact hamming verify."""
+    """Near-dup pairs by SimHash banding + exact hamming verify.
+
+    Default max_hamming=3 matches the 4-band pigeonhole bound (see
+    module docstring): within that radius banding guarantees the pair
+    is generated, so the result is exact.  Larger radii need more bands
+    (bands ≥ max_hamming+1) or the tail is silently incomplete.
+    """
     sh = df.select(
         F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sim")
     )
@@ -128,6 +137,106 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def hashed_shingles(text_col, n: int = 3):
+    """Distinct char-n-gram shingles as 64-bit hashes (column expr).
+
+    Integer intersects are ~2x faster than string intersects and
+    preserve set sizes (in-doc collision odds ~1e-15).
+    """
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(text_col) - n, F.lit(0))),
+            lambda i: F.xxhash64(F.substr(text_col, i + 1, F.lit(n))),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 512,
+) -> DataFrame:
+    """Doc-level MinHash-LSH blocking + exact-Jaccard verify.
+
+    The scale path behind `ngram_jaccard_pairs`: instead of the
+    O(block²) all-pairs self-join, candidates come from banded MinHash
+    buckets (expected candidate volume ≈ bands × Σ bucket²), then the
+    SAME exact Jaccard over the SAME hashed shingle sets decides — so
+    precision is exact and the only approximation is LSH recall.  With
+    r = num_hashes/bands = 1 rows per band, a true pair at s ≥ 0.7 is
+    missed with probability (1-s)^16 ≤ 4e-9 — the recall gate
+    (queries.dedup_minhash_lsh_recall) measures this against the exact
+    twin rather than trusting the formula.
+
+    `block_col` (e.g. source) joins into the bucket key: cross-block
+    pairs are never candidates, mirroring the per-source release-graph
+    scope (/root/reference/userCode/assetGroups/release_graph_generator.py:79-83).
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("block"),
+        hashed_shingles(F.col(text_col), n).alias("s"),
+    ).filter(F.size("s") > 0)
+
+    def hasher(seed: int):
+        return lambda x: F.xxhash64(x, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("s"), hasher(i))) for i in range(num_hashes)]
+    )
+    banded = base.withColumn("sig", sig).select(
+        "doc_id",
+        "block",
+        "s",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    w = Window.partitionBy("block", "band", "bucket")
+    banded = (
+        banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    a = banded.select(
+        "block", "band", "bucket",
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"),
+    )
+    b = banded.select(
+        "block", "band", "bucket",
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    na, nb = F.size("sa"), F.size("sb")
+    # |A∪B| = |A|+|B|−|A∩B|; single-reference filter algebra as in the
+    # exact twin (t·(|A|+|B|) ≤ (1+t)·|A∩B| ⇔ J ≥ t)
+    return (
+        a.join(b, ["block", "band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(inter * F.lit(1.0 + threshold) >= F.lit(threshold) * (na + nb))
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter / (na + nb - inter), 6).alias("jac"),
+        )
     )
 
 

@@ -121,6 +121,71 @@ def write_spatial_parquet(
     )
 
 
+GEO_METADATA = (
+    '{"version":"1.0.0","primary_column":"geometry",'
+    '"columns":{"geometry":{"encoding":"WKB","geometry_types":["Point"]}}}'
+)
+
+
+def write_geoparquet(
+    features: DataFrame,
+    path: str,
+    row_group_bytes: int = 4 * 1024 * 1024,
+) -> None:
+    """GeoParquet sink: the reference's terminal artifact layout.
+
+    Emits the exact export schema `(id, geoconnex_sitemap,
+    feature_name, feature_description, bbox struct, geometry WKB)`
+    (/root/reference/userCode/assetGroups/export_test.py:77-84) with:
+    - Z-order row clustering on the bbox min corner (≈ Hilbert sort,
+      export.py:151 — spatially-near rows share row groups so bbox
+      range predicates prune);
+    - ~4 MB row groups (export.py:152);
+    - the `geo` file-metadata key (add_bbox_metadata, export.py:150).
+
+    The metadata pass is a driver-side footer rewrite per part file —
+    exactly the reference's own pattern (gpio.read→…→write rewrites
+    the artifact in place); Spark's writer cannot attach custom
+    key-value metadata.  Production swap: Iceberg/GeoParquet writer.
+    """
+    from ..schema import enforce
+    from .geo import FEATURES
+
+    df = enforce(features, FEATURES)
+    key = zorder_key(
+        quantize(F.col("bbox.xmin"), -180.0, 180.0),
+        quantize(F.col("bbox.ymin"), -90.0, 90.0),
+    )
+    (
+        df.withColumn("_zkey", key)
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", row_group_bytes)
+        .parquet(path)
+    )
+
+    import glob
+    import os
+    import pyarrow.parquet as pq
+
+    for part in glob.glob(f"{path}/*.parquet"):
+        table = pq.read_table(part)
+        meta = dict(table.schema.metadata or {})
+        meta[b"geo"] = GEO_METADATA.encode()
+        rows_per_group = max(
+            1, int(len(table) * row_group_bytes / max(table.nbytes, 1))
+        )
+        pq.write_table(
+            table.replace_schema_metadata(meta), part, row_group_size=rows_per_group
+        )
+        # the rewrite invalidates Hadoop's checksum sidecar — drop it
+        # or every subsequent Spark read fails with ChecksumException
+        crc = os.path.join(os.path.dirname(part), f".{os.path.basename(part)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -226,10 +226,13 @@ _JVM_URI_RX = r"(https?://[^\s\"'<>\)\];]+)"
 
 
 def _rx_by_lang(rx_map: dict[str, str]):
+    # unknown langs fall back to the python patterns — the SAME fallback
+    # as the pandas path's IMPORT_PATTERNS.get(lang, ...["python"]), so
+    # the two extraction paths stay byte-identical for any lang.
     return (
-        F.when(F.col("lang") == "python", F.regexp_extract_all("content", F.lit(rx_map["python"]), 1))
-        .when(F.col("lang") == "go", F.regexp_extract_all("content", F.lit(rx_map["go"]), 1))
-        .otherwise(F.regexp_extract_all("content", F.lit(rx_map["java"]), 1))
+        F.when(F.col("lang") == "go", F.regexp_extract_all("content", F.lit(rx_map["go"]), 1))
+        .when(F.col("lang") == "java", F.regexp_extract_all("content", F.lit(rx_map["java"]), 1))
+        .otherwise(F.regexp_extract_all("content", F.lit(rx_map["python"]), 1))
     )
 
 

@@ -45,11 +45,6 @@ MEDIA = T.StructType(
 
 _FEATURE_DIM = 8
 
-_FEATURES_SCHEMA = (
-    "media_id long, kind string, payload_sha string, n_bytes long, "
-    f"features array<float>"
-)
-
 
 def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     """Deterministic fake decode: real implementations replace this.
@@ -66,32 +61,32 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
 def extract_media_features(media: DataFrame) -> DataFrame:
     """binary payloads → fixed-dim feature vectors, Arrow-batched.
 
+    Python touches ONLY the decode step: `payload_sha` and `n_bytes`
+    are JVM-side built-ins (`F.sha2` works on binary and matches
+    hashlib's hex digest; `F.length` on binary is the byte count), so
+    the Arrow round-trip carries just (payload, kind) → features.
+
     Unknown kinds yield NULL features (quarantine-not-crash, the
     reference's exit-3 tolerance).
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = []
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                try:
-                    feats.append(_decode_stub(bytes(payload), kind).tolist())
-                except NotImplementedError:
-                    feats.append(None)
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "payload_sha": [
-                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
-                    ],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                    "features": feats,
-                }
-            )
-            yield out
+    def decode(payload: pd.Series, kind: pd.Series) -> pd.Series:
+        feats = []
+        for p, k in zip(payload, kind):
+            try:
+                feats.append(_decode_stub(bytes(p), k).tolist())
+            except NotImplementedError:
+                feats.append(None)
+        return pd.Series(feats, dtype=object)
 
-    return media.mapInPandas(run, schema=_FEATURES_SCHEMA)
+    features_udf = F.pandas_udf(decode, "array<float>")
+    return media.select(
+        "media_id",
+        "kind",
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        features_udf(F.col("payload"), F.col("kind")).alias("features"),
+    )
 
 
 _FRAMES_SCHEMA = (

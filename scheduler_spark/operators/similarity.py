@@ -105,10 +105,20 @@ def ivf_ann_topk(
     """
     import numpy as np
 
+    # Deterministic, layout-independent sample: order by a hash of the
+    # id and take the first `train_sample` (a TakeOrdered — one scan +
+    # per-partition top-k, no full sort).  A bare `.limit()` would read
+    # the FIRST partition(s) only: on a clustered/sorted corpus the
+    # quantizer would train on one file's distribution and cell balance
+    # collapses (hash order ≈ uniform over the whole corpus instead).
     sample = np.array(
         [
             r["v"]
-            for r in corpus.select(F.col(vec_col).cast("array<float>").alias("v"))
+            for r in corpus.select(
+                F.col(vec_col).cast("array<float>").alias("v"),
+                F.xxhash64(F.col(id_col)).alias("_h"),
+            )
+            .orderBy("_h")
             .limit(train_sample)
             .collect()
         ],
@@ -159,6 +169,92 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def embedding_lsh_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 16,
+    planes_per_band: int = 2,
+    threshold: float = 0.45,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Embedding near-dup pairs via BANDED hyperplane LSH + exact verify.
+
+    The scale path behind the exact crossJoin twin
+    (queries.dedup_embedding_cosine): each vector hashes to `bands`
+    bucket ids (sign pattern of `planes_per_band` deterministic
+    hyperplanes per band); candidates are pairs sharing any band
+    bucket — an equi-join, never an all-pairs product — and the exact
+    cosine >= threshold predicate decides, so precision is exact and
+    only recall is approximate.  For two vectors at angle θ a band
+    matches with p = (1-θ/π)^r, and recall = 1-(1-p)^bands: at
+    cos ≥ 0.45 (θ ≤ 63.3°, p ≈ 0.42 for r=2) 16 bands give ≥ 0.9998 —
+    measured, not trusted, by queries.ann_embedding_lsh_recall.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    norm = F.sqrt(
+        F.aggregate(F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    v = v.withColumn("nrm", norm)
+    buckets = F.array(
+        *[
+            _bucket_signature_offset(F.col("e"), dim, planes_per_band, b * planes_per_band)
+            for b in range(bands)
+        ]
+    )
+    banded = v.select(
+        "vid", "e", "nrm", F.posexplode(buckets).alias("band", "bucket")
+    )
+    w = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+    a = banded.select(
+        "band", "bucket",
+        F.col("vid").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = banded.select(
+        "band", "bucket",
+        F.col("vid").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .filter(dot / (F.col("na") * F.col("nb")) >= threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
+def _bucket_signature_offset(vec_col, dim: int, n_planes: int, plane_offset: int):
+    """Sign pattern of `n_planes` hyperplanes starting at `plane_offset`,
+    packed into a long — one band's bucket id."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec_col, _hyperplane(dim, plane_offset + p), lambda x, h: x * h),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), p),
+        ).otherwise(F.lit(0).cast("long"))
+        for p in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseXOR(b)
+    return out
 
 
 def lsh_ann_topk(

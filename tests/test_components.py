@@ -66,6 +66,22 @@ def test_result_partition_order_independent(spark):
     assert r1 == r8
 
 
+def test_byte_budget_forces_distributed_path(spark):
+    """Long entity ids exceed the byte budget even at a tiny edge count:
+    the distributed loop must kick in and agree with union-find."""
+    long_ = "x" * 2000
+    pairs = [(f"{long_}{i:02d}", f"{long_}{i + 1:02d}") for i in range(20)]
+    edges = spark.createDataFrame(pairs, "src_entity string, dst_entity string")
+    # 20 edges × ~4 KB ids ≈ 80 KB > the 10 KB budget → star loop
+    dist = {
+        r.entity_id: r.canonical_id
+        for r in connected_components(edges, small_graph_max_bytes=10_000).collect()
+    }
+    fast = _cc(spark, pairs)  # default budget → driver union-find
+    assert dist == fast
+    assert set(dist.values()) == {f"{long_}00"}
+
+
 def test_canonicalize_includes_singletons(spark):
     values = spark.createDataFrame([("a",), ("b",), ("solo",)], "value string")
     edges = spark.createDataFrame([("b", "a")], "src_entity string, dst_entity string")

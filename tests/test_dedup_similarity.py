@@ -58,6 +58,57 @@ def test_ngram_jaccard_pairs_threshold(spark):
     assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
 
 
+def test_minhash_lsh_doc_pairs_match_exact_twin(spark):
+    """LSH-blocked pairs == exact all-pairs jaccard on a corpus where
+    recall is guaranteed (near-dups at J≥0.7, 16 single-row bands)."""
+    from scheduler_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", "a"),
+        (2, "the quick brown fox jumps over the lazy dog todaz", "a"),  # near-dup of 1
+        (3, "completely unrelated text about spark partitions!!", "a"),
+        (4, "the quick brown fox jumps over the lazy dog today", "b"),  # other block
+        (5, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nn", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    lsh = {
+        (p.doc_a, p.doc_b)
+        for p in minhash_lsh_pairs(df, block_col="source", threshold=0.7).collect()
+    }
+    exact = {
+        (p.doc_a, p.doc_b)
+        for p in ngram_jaccard_pairs(df, block_col="source", threshold=0.7).collect()
+    }
+    assert lsh == exact == {(1, 2)}  # cross-block (1,4) is never a candidate
+
+
+def test_embedding_lsh_pairs_match_exact_cosine(spark):
+    from scheduler_spark.operators.similarity import embedding_lsh_pairs
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16).astype("float64")
+    base[1] = base[0] + 0.05 * rng.randn(16)  # planted near-dup pair (0,1)
+    base[7] = base[6] + 0.05 * rng.randn(16)  # planted near-dup pair (6,7)
+    df = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    Vn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    exact = {
+        (i, j)
+        for i in range(40) for j in range(i + 1, 40)
+        if S[i, j] >= 0.8
+    }
+    got = {
+        (p.vec_a, p.vec_b)
+        for p in embedding_lsh_pairs(df, dim=16, threshold=0.8).collect()
+    }
+    assert {(0, 1), (6, 7)} <= exact
+    assert got == exact
+
+
 def test_lsh_ann_finds_planted_near_duplicates(spark):
     import numpy as np
 

@@ -77,6 +77,25 @@ def test_content_sha_carried_to_triples(spark, result):
     assert orphans.count() == 0
 
 
+def test_kg_triples_match_committed_golden(spark):
+    """The committed golden artifact (tools/make_golden.py) pins the
+    driver-gate pipeline output exactly; any drift in extraction,
+    linking, LSH, CC, or materialization fails here before the oracle
+    gate sees it (≈ the reference's golden fixtures in testdata/,
+    defs_test.py:75-130)."""
+    from scheduler_spark.queries import _GOLDEN_TRIPLES_GLOB, kg_pipeline_triples
+
+    golden_dir = _GOLDEN_TRIPLES_GLOB.rsplit("/", 1)[0]
+    want = {tuple(r) for r in spark.read.parquet(golden_dir).collect()}
+    got = {tuple(r) for r in kg_pipeline_triples(spark, sf_dir="unused").collect()}
+    assert want, "golden artifact missing — run tools/make_golden.py"
+    assert got == want, (
+        f"pipeline drifted from golden: {len(got - want)} extra, "
+        f"{len(want - got)} missing — regenerate with tools/make_golden.py "
+        f"only if the change is intentional"
+    )
+
+
 def test_triples_partitioned_by_source(result):
     catalog, _ = result
     import os

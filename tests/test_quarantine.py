@@ -60,3 +60,31 @@ def test_clean_corpus_quarantines_nothing(spark, tmp_path):
         spark, synth_files(spark, 50), alias_df(spark), catalog, run_id="q3", strict=True
     )
     assert res.n_quarantined == 0
+
+
+def test_quarantine_count_rides_the_fingerprint_scan(spark, tmp_path):
+    """Quarantine accounting must NOT cost an extra pass over the
+    corpus: on an up-to-date corpus (skipped run) the pipeline performs
+    exactly ONE scan of `files` — the fingerprint pass, with the
+    quarantine count attached as an observe() metric.  A standalone
+    `bad.count()` would make this 2 scans (and at 100 TB, 2 full
+    reads)."""
+    n = 60
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def probe(c):
+        acc.add(1)
+        return c
+
+    files = synth_files(spark, n_files=n).withColumn("content", probe("content"))
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    aliases = alias_df(spark)
+    run_pipeline(spark, files, aliases, catalog, run_id="s1")
+
+    before = acc.value
+    res = run_pipeline(spark, files, aliases, catalog, run_id="s2")
+    assert res.skipped
+    assert acc.value - before == n, (
+        f"expected 1 pre-extraction scan ({n} rows), saw {(acc.value - before) / n:.1f} scans"
+    )

@@ -89,6 +89,43 @@ def test_new_partition_arriving_is_the_only_one_processed(spark, tmp_path):
         assert mtimes_after[part] == before, f"{part} was rewritten"
 
 
+def test_vanished_source_partitions_are_pruned(spark, tmp_path):
+    """A repo removed from the corpus must not leave its triples,
+    mentions, or checkpoint row behind (≈ filter_partitions prune,
+    /root/reference/userCode/lib/dagster.py:19-30)."""
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    aliases = alias_df(spark)
+    files = synth_files(spark, n_files=200).cache()
+    run_pipeline(spark, files, aliases, catalog, run_id="r1")
+
+    victim = (
+        files.filter(F.col("repo") != "mega/monorepo")
+        .select("repo").distinct().orderBy("repo").first()["repo"]
+    )
+    remaining = files.filter(F.col("repo") != victim)
+    mtimes_before = {
+        k: v for k, v in _partition_mtimes(catalog, TRIPLES_TABLE).items()
+        if k != f"src_partition={victim.replace('/', '%2F')}"
+    }
+
+    # removing a repo leaves every other fingerprint unchanged → the
+    # run is prune-only (nothing recomputed, victim partitions dropped)
+    r2 = run_pipeline(spark, remaining, aliases, catalog, run_id="r2")
+    assert r2.skipped and r2.n_pruned_partitions == 1
+
+    enc = f"src_partition={victim.replace('/', '%2F')}"
+    for table in (TRIPLES_TABLE, "mentions"):
+        assert enc not in _partition_mtimes(catalog, table), (table, enc)
+    ckpt = catalog.read(CHECKPOINT_TABLE)
+    assert ckpt.filter(F.col("partition") == victim).count() == 0
+    # survivors untouched
+    assert _partition_mtimes(catalog, TRIPLES_TABLE) == mtimes_before
+
+    # and a third run over the same remaining corpus is a clean no-op
+    r3 = run_pipeline(spark, remaining, aliases, catalog, run_id="r3")
+    assert r3.skipped and r3.n_pruned_partitions == 0
+
+
 def test_snapshot_log_pruning_oldest_first(spark, tmp_path):
     catalog = Catalog(root=str(tmp_path), spark=spark)
     df = spark.range(1).select(F.lit("x").alias("v"))

@@ -49,6 +49,41 @@ def test_salting_bounds_partition_sizes(spark):
     assert key_sizes <= 1.5 * mega_rows / salt, key_sizes
 
 
+def test_per_source_concurrency_caps_fanout(spark):
+    """A source declaring max_request_concurrency=1 (admission control,
+    /root/reference/userCode/assetGroups/testdata/sitemap.xml:12) must
+    occupy exactly one task-group key; undeclared sources keep the full
+    salt fan-out."""
+    from scheduler_spark.pipeline import salted_by_source
+    from scheduler_spark.sources.sitemap import sources_df, source_widths
+
+    xml = """<?xml version='1.0' encoding='utf-8'?>
+    <sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+                  xmlns:geoconnex="https://geoconnex.us">
+      <sitemap><geoconnex:sitemap_id>mega/monorepo</geoconnex:sitemap_id>
+        <geoconnex:max_request_concurrency>1</geoconnex:max_request_concurrency>
+      </sitemap>
+    </sitemapindex>"""
+    widths = source_widths(sources_df(spark, xml))
+    assert widths.collect()[0].asDict() == {"repo": MEGA_REPO, "max_concurrency": 1}
+
+    files = with_content_sha(synth_files(spark, n_files=2000))
+    salted = salted_by_source(files, salt=8, n_parts=32, source_widths=widths)
+    pids = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .groupBy("repo")
+        .agg(F.countDistinct("pid").alias("n_pids"))
+    )
+    by_repo = {r.repo: r.n_pids for r in pids.collect()}
+    # capped source: all rows through ONE task-group key / partition
+    assert by_repo[MEGA_REPO] == 1
+    # everyone else keeps the default multi-way fan-out (mega aside,
+    # org/repoN each has ~25 rows over 8 salts → usually >1 pid)
+    assert max(v for k, v in by_repo.items() if k != MEGA_REPO) > 1
+    # schema untouched (the width column does not leak downstream)
+    assert "max_concurrency" not in salted.columns
+
+
 def test_extraction_correct_under_salting(spark):
     files = with_content_sha(synth_files(spark, n_files=500))
     plain = {
