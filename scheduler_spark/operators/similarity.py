@@ -51,14 +51,17 @@ def brute_force_topk(
 
 
 def _hyperplane(dim: int, plane: int):
-    """Deterministic pseudo-random unit-free hyperplane as a column
-    expression: component j = xxhash64(plane, j) scaled to [-1, 1]."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.xxhash64(F.lit(plane), j).cast("double") / F.lit(float(2**63))
-        ),
-    )
+    """Deterministic pseudo-random hyperplane as a LITERAL array.
+
+    The components are fixed gaussian constants (seeded per plane), so
+    Catalyst constant-folds the array once instead of evaluating a hash
+    expression per component per ROW — with 16 bands × 2 planes × 64
+    dims that's 2048 saved hash evaluations per row, the difference
+    between an expression-bound scan and a flop-bound one."""
+    import numpy as np
+
+    comps = np.random.RandomState(0xC0FFEE + plane).randn(dim)
+    return F.array(*[F.lit(float(c)) for c in comps])
 
 
 def _bucket_signature(vec_col, dim: int, n_planes: int):
@@ -207,31 +210,37 @@ def embedding_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = v.select(
-        "vid", "e", "nrm", F.posexplode(buckets).alias("band", "bucket")
-    )
+    # IDS-ONLY through the band join (same reasoning as
+    # dedup.minhash_lsh_pairs): the bucket self-join is bands×-redundant
+    # pre-dedup, so embedding arrays ride along only AFTER the pair set
+    # is distinct — once per verified pair instead of once per band hit.
+    banded = v.select("vid", F.posexplode(buckets).alias("band", "bucket"))
     w = Window.partitionBy("band", "bucket")
     banded = (
         banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
     )
-    a = banded.select(
-        "band", "bucket",
-        F.col("vid").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    a = banded.select("band", "bucket", F.col("vid").alias("vec_a"))
+    b = banded.select("band", "bucket", F.col("vid").alias("vec_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
-    b = banded.select(
-        "band", "bucket",
-        F.col("vid").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    cand = pairs.join(
+        v.select(F.col("vid").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")),
+        "vec_a",
+    ).join(
+        v.select(F.col("vid").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")),
+        "vec_b",
     )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
-        .filter(dot / (F.col("na") * F.col("nb")) >= threshold)
+        cand.filter(dot / (F.col("na") * F.col("nb")) >= threshold)
         .select("vec_a", "vec_b")
     )
 

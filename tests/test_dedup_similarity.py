@@ -44,6 +44,25 @@ def test_simhash_identical_and_disjoint(spark):
     assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(1, 2, 0)]
 
 
+def test_simhash_table_equals_expression_path(spark):
+    """The shuffle-friendly agg path must produce bit-identical hashes
+    to the column-expression fold (including the zero-token doc)."""
+    from scheduler_spark.operators.dedup import simhash_table
+
+    rows = [
+        (1, "alpha bravo charlie delta"),
+        (2, "the quick brown fox 123 jumps"),
+        (3, ""),
+        (4, "!!! ???"),  # tokens empty after normalization
+        (5, "alpha bravo charlie delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {r.doc_id: r.s for r in df.select("doc_id", simhash64(F.col("text")).alias("s")).collect()}
+    table = {r.doc_id: r.sim for r in simhash_table(df).collect()}
+    assert table == expr
+    assert table[3] == 0 and table[4] == 0
+
+
 def test_ngram_jaccard_pairs_threshold(spark):
     df = spark.createDataFrame(
         [
