@@ -812,6 +812,156 @@ def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.4 — GROUPING SETS + grouping_id (generalizes the rollup/cube rows)
+# ===========================================================================
+
+@query(
+    "grouping_sets_quantity",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT)*2
+             + CAST(grouping(l_linestatus) AS BIGINT) AS gid,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_grouping_sets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT)*2
+                 + CAST(grouping(l_linestatus) AS BIGINT) AS gid,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM li_grouping_sets
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# ===========================================================================
+# §2.3 — scalar subquery (uncorrelated aggregate predicate)
+# ===========================================================================
+
+@query(
+    "scalar_subquery_above_avg",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("cust_scalar_sub")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal FROM cust_scalar_sub
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust_scalar_sub)
+        """
+    )
+
+
+# ===========================================================================
+# §2.3 — null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ===========================================================================
+
+@query(
+    "null_safe_join_counts",
+    """
+    WITH a AS (SELECT c_custkey, NULLIF(c_custkey % 7, 0) AS k7 FROM customer),
+         b AS (SELECT DISTINCT NULLIF(s_suppkey % 7, 0) AS k7 FROM supplier)
+    SELECT CAST(coalesce(b.k7, -1) AS BIGINT) AS k7, CAST(count(*) AS BIGINT) AS n
+    FROM a JOIN b ON a.k7 IS NOT DISTINCT FROM b.k7
+    GROUP BY coalesce(b.k7, -1)
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.pmod("c_custkey", F.lit(7)), F.lit(0)).alias("k7")
+    )
+    b = (
+        _t(spark, sf_dir, "supplier")
+        .select(F.nullif(F.pmod("s_suppkey", F.lit(7)), F.lit(0)).alias("k7"))
+        .distinct()
+    )
+    return (
+        a.join(F.broadcast(b), a["k7"].eqNullSafe(b["k7"]))
+        .groupBy(F.coalesce(b["k7"], F.lit(-1)).cast("long").alias("k7"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ===========================================================================
+# §2.4 — order-controlled string aggregation
+# ===========================================================================
+
+@query(
+    "sorted_string_agg",
+    """
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def sorted_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("names")
+    )
+
+
+# ===========================================================================
+# §2.7 — array functions (sort/contains/slice/size; string-joined output
+# so the hash compare is representation-stable)
+# ===========================================================================
+
+@query(
+    "array_functions",
+    """
+    WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS toks FROM part)
+    SELECT p_partkey,
+           array_to_string(list_sort(toks), '|') AS sorted_toks,
+           list_contains(toks, 'BRUSHED')        AS has_brushed,
+           array_to_string(toks[1:2], '|')       AS first_two,
+           CAST(len(toks) AS BIGINT)             AS n_toks
+    FROM t
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    toks = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("|", F.sort_array(toks)).alias("sorted_toks"),
+        F.array_contains(toks, "BRUSHED").alias("has_brushed"),
+        F.concat_ws("|", F.slice(toks, 1, 2)).alias("first_two"),
+        F.size(toks).cast("long").alias("n_toks"),
+    )
+
+
+# ===========================================================================
+# §2.9 — positional explode (lateral view with ordinality)
+# ===========================================================================
+
+@query(
+    "posexplode_tokens",
+    """
+    WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks
+               FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(u.i AS BIGINT) AS pos, toks[u.i+1] AS tok
+    FROM t, unnest(range(len(t.toks))) AS u(i)
+    """,
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.regexp_extract_all("text", F.lit("[a-z]+"), 0)
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "tok")).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "tok"
+    )
+
+
+# ===========================================================================
 # §2.4 approximate aggregates (lineage metrics path, SURVEY §2.4 note:
 # approx_count_distinct for entity counts where exactness isn't
 # contract-bound).  The oracle computes the EXACT value; the gate pins
@@ -873,6 +1023,103 @@ def approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.abs(F.col("r50") - 0.5) <= 0.015) & (F.abs(F.col("r95") - 0.95) <= 0.015)
         ).alias("within_bound"),
+    )
+
+
+# ===========================================================================
+# Training-data prep ops: chunking, deterministic split, sequence packing
+# ===========================================================================
+
+@query(
+    "chunk_documents",
+    """
+    WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
+    SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_no,
+           substr(text, CAST(u.i*60 + 1 AS BIGINT), 80) AS chunk
+    FROM t, unnest(range(CAST(ceil(greatest(n - 80, 0) / 60.0) AS BIGINT) + 1)) AS u(i)
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character windows (size 80, stride 60) —
+    the context-window chunking step of an LLM data pipeline, as a pure
+    column program: one sequence+explode, no Python, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    n_chunks = (
+        F.ceil(F.greatest(F.length("text") - 80, F.lit(0)) / 60.0).cast("long") + 1
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.posexplode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("_p", "i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_no"),
+            F.substr("text", F.col("i") * 60 + 1, F.lit(80)).alias("chunk"),
+        )
+    )
+
+
+@query(
+    "train_val_split",
+    """
+    SELECT source,
+           CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+           CAST(count(*) AS BIGINT) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val assignment by multiplicative hash
+    of the stable doc id — reproducible on any cluster layout, no RNG
+    state, rebalance-safe (a doc's split never changes as the corpus
+    grows, unlike randomSplit)."""
+    d = _t(spark, sf_dir, "documents")
+    split = F.when(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)) < 90, "train"
+    ).otherwise("val")
+    return d.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "sequence_packing",
+    r"""
+    WITH t AS (SELECT doc_id, source,
+                      len(regexp_extract_all(text, '\S+')) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS tok_before
+          FROM t)
+    SELECT doc_id, source,
+           CAST(floor(coalesce(tok_before, 0) / 512) AS BIGINT) AS pack_id,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-fill sequence packing: docs are packed in stable
+    doc_id order into ~512-token bins per source (the pre-tokenization
+    packing step for LLM training).  One window cumsum — a single
+    shuffle on source, deterministic bin assignment."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select("doc_id", "source", n_tok.alias("n_tok")).select(
+        "doc_id",
+        "source",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 512)
+        .cast("long")
+        .alias("pack_id"),
+        F.col("n_tok").cast("long").alias("n_tok"),
     )
 
 
