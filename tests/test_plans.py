@@ -70,6 +70,47 @@ def test_dynamic_partition_overwrite_mode(spark):
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
 
 
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunk explosion is a narrow map — any Exchange here would be a
+    100 TB regression (it would shuffle the full corpus text)."""
+    df = q.all_queries()["chunk_documents"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    df = q.all_queries()["sequence_packing"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_null_safe_join_broadcasts(spark, sf_dir):
+    df = q.all_queries()["null_safe_join_counts"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Broadcast" in plan and "SortMergeJoin" not in plan
+
+
+def test_lsh_band_join_carries_ids_only(spark, sf_dir):
+    """The (band, bucket) self-join must NOT materialize the shingle
+    arrays — they re-attach after the pair dedup.  Asserted on the
+    optimized plan: no join node outputs the shingle column `s` from
+    both sides (the ids-only rewrite, 136s → 17s at sf0.1)."""
+    from scheduler_spark.operators.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        block_col="source",
+    )
+    opt = _optimized(df)
+    band_joins = [
+        seg for seg in opt.splitlines()
+        if "Join" in seg and "band" in seg and "bucket" in seg
+    ]
+    assert band_joins, opt
+    for j in band_joins:
+        assert "sa#" not in j and "sb#" not in j, j
+
+
 def test_semi_and_anti_join_operators(spark, sf_dir):
     semi = q.all_queries()["semi_join_customers_with_orders"](spark, sf_dir)
     anti = q.all_queries()["anti_join_customers_without_orders"](spark, sf_dir)
