@@ -59,6 +59,48 @@ def run_available_now(
     q.awaitTermination()
 
 
+def dedup_stream(
+    files_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-content ingest: duplicate payloads
+    arriving within the watermark horizon are dropped by `content_sha`
+    (the hash-keyed summoned-doc contract,
+    /root/reference/docs/hdt.md:12-16, recast as a stream).
+
+    `dropDuplicatesWithinWatermark` bounds the dedup state to the
+    watermark horizon — at 100 TB/day the state store holds only the
+    horizon's hashes, never full history (a plain streaming
+    dropDuplicates would grow without bound)."""
+    s = with_content_sha(files_stream)
+    return s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_sha"]
+    )
+
+
+def run_dedup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ingest_ts",
+) -> None:
+    """AvailableNow drain of the dedup stream (file source must carry
+    an event-time column `ts_col`)."""
+    stream = dedup_stream(stream_files(spark, source_dir, schema), ts_col=ts_col)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_source_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -78,6 +78,34 @@ def test_bbox_join_broadcasts_the_dim(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bbox_window_pushdown_on_geoparquet(spark, tmp_path):
+    """The FlatGeobuf bbox-windowed-read analog
+    (/root/reference/userCode/testdata/create_flatgeobuf.py:15-27): a
+    bbox window over the exported geoparquet must push the nested
+    bbox predicates INTO the parquet scan (so Z-order-clustered row
+    groups prune) and prune the unread columns."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "pushdown.parquet")
+    write_geoparquet(synth_features(spark, n=400), out)
+    df = (
+        spark.read.parquet(out)
+        .filter((F.col("bbox.xmin") > 100.0) & (F.col("bbox.ymin") > 0.0))
+        .select("id", "bbox")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    # the toString elides long filter lists with "…" — assert the xmin
+    # predicate verbatim and the ymin one by prefix
+    assert "GreaterThan(bbox.xmin,100.0)" in pushed, pushed
+    assert "IsNotNull(bbox.ymin)" in pushed, pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "geometry" not in read_schema  # pruned
+    # and the window is correct
+    rows = df.collect()
+    assert rows and all(r.bbox.xmin > 100.0 and r.bbox.ymin > 0.0 for r in rows)
+
+
 def test_write_geoparquet_layout_and_metadata(spark, tmp_path):
     out = str(tmp_path / "features.parquet")
     write_geoparquet(synth_features(spark, n=300), out)

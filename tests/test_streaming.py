@@ -33,6 +33,35 @@ def test_available_now_processes_only_new_files(spark, tmp_path):
     assert n2 > n1
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate content arriving in-stream is emitted once; the dedup
+    key is the end-to-end content_sha invariant."""
+    from pyspark.sql import types as T
+
+    from scheduler_spark.streaming.ingest import run_dedup_ingest
+
+    schema = T.StructType(
+        FILES.fields + [T.StructField("ingest_ts", T.TimestampType(), False)]
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = synth_files(spark, n_files=30).withColumn(
+        "ingest_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    )
+    dupes = base.limit(10).withColumn(
+        "ingest_ts", F.lit("2024-01-01 00:05:00").cast("timestamp")
+    )
+    base.unionByName(dupes).write.mode("append").parquet(src)
+
+    run_dedup_ingest(spark, src, schema, out, ckpt)
+    got = spark.read.parquet(out)
+    # 40 input rows, 10 in-horizon duplicates dropped
+    assert got.count() == 30
+    assert got.select("content_sha").distinct().count() == 30
+
+
 def test_windowed_counts_batch_semantics(spark):
     rows = [
         ("2024-01-01 00:10:00", "click"),
