@@ -1027,6 +1027,125 @@ def approx_quantiles_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.5 — analytic window functions (ntile/percent_rank/lead/first_value)
+# ===========================================================================
+
+@query(
+    "window_rank_functions",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           round(percent_rank() OVER w, 6) AS prank,
+           lead(o_orderkey) OVER w AS next_ok,
+           first_value(o_orderkey) OVER w AS first_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+    )
+
+
+# ===========================================================================
+# §2.3 — correlated scalar subquery (per-group threshold predicate)
+# ===========================================================================
+
+@query(
+    "correlated_scalar_subquery",
+    """
+    SELECT o_orderkey FROM orders o
+    WHERE o_totalprice > 1.8 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_corr_sub")
+    return spark.sql(
+        """
+        SELECT o_orderkey FROM orders_corr_sub o
+        WHERE o_totalprice > 1.8 * (SELECT avg(o2.o_totalprice) FROM orders_corr_sub o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+# ===========================================================================
+# §2.6 — multiset set op (EXCEPT ALL)
+# ===========================================================================
+
+@query(
+    "except_all_orderkeys",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT l_orderkey FROM lineitem EXCEPT ALL SELECT o_orderkey FROM orders)
+    """,
+)
+def except_all_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("l_orderkey"))
+    return li.exceptAll(o).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ===========================================================================
+# §2.7 — string padding / reversal / position scalars
+# ===========================================================================
+
+@query(
+    "string_pad_functions",
+    """
+    SELECT n_nationkey,
+           lpad(n_name, 12, '_')            AS lp,
+           rpad(n_name, 12, '.')            AS rp2,
+           reverse(n_name)                  AS rv,
+           repeat(substr(n_name, 1, 2), 3)  AS rp,
+           CAST(position('_' IN n_name) AS BIGINT) AS pos_underscore
+    FROM nation
+    """,
+)
+def string_pad_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lpad("n_name", 12, "_").alias("lp"),
+        F.rpad("n_name", 12, ".").alias("rp2"),
+        F.reverse("n_name").alias("rv"),
+        F.repeat(F.substring("n_name", 1, 2), 3).alias("rp"),
+        F.instr("n_name", "_").cast("long").alias("pos_underscore"),
+    )
+
+
+# ===========================================================================
+# §2.7 — MapType construction + key access (engine add; reference has
+# no map columns but counters/metadata at scale want them)
+# ===========================================================================
+
+@query(
+    "map_functions",
+    """
+    SELECT p_partkey,
+           map_extract(map(['brand','type'], [p_brand, p_type]), 'brand')[1] AS brand_val
+    FROM part
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")), F.array("p_brand", "p_type")
+    )
+    return p.select("p_partkey", m.getItem("brand").alias("brand_val"))
+
+
+# ===========================================================================
 # Training-data prep ops: chunking, deterministic split, sequence packing
 # ===========================================================================
 
