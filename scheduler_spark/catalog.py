@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -97,6 +98,54 @@ class Catalog:
         props = dict(properties or {})
         props["dropped_partitions"] = sorted(set(dropped))
         return self._commit(name, "delete_partitions", props)
+
+    def compact_partitions(
+        self,
+        name: str,
+        partition_col: str,
+        target_bytes: int = 128 * 1024 * 1024,
+        small_file_threshold: float = 0.5,
+    ) -> int:
+        """Small-files compaction — the table-maintenance half of
+        Iceberg's rewrite_data_files, over the parquet stand-in.
+
+        Incremental syncs overwrite single partitions repeatedly; each
+        run's task layout leaves its own small files, and at 100 TB the
+        scan cost becomes file-open-bound.  This rewrites ONLY the
+        partitions whose average file size is below
+        `small_file_threshold × target_bytes`, coalescing each to
+        ceil(bytes/target) files via a dynamic partition overwrite —
+        untouched partitions keep their files (and mtimes).  Returns
+        the number of partitions rewritten.
+        """
+        root = self.table_path(name)
+        victims: list[str] = []
+        for d in os.listdir(root):
+            if "=" not in d or not d.startswith(f"{partition_col}="):
+                continue
+            p = os.path.join(root, d)
+            parts = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            if len(parts) <= 1:
+                continue
+            total = sum(os.path.getsize(os.path.join(p, f)) for f in parts)
+            if total / len(parts) < small_file_threshold * target_bytes:
+                victims.append(d.split("=", 1)[1])
+        if not victims:
+            return 0
+        from urllib.parse import unquote
+
+        keys = [unquote(v) for v in victims]
+        subset = self.read(name).filter(F.col(partition_col).isin(keys))
+        # hash-repartition on the key → exactly one file per rewritten
+        # partition (they are small by selection, so one target-size
+        # file each); localCheckpoint because the rewrite reads the
+        # very files the overwrite replaces
+        compacted = subset.repartition(F.col(partition_col)).localCheckpoint()
+        self.overwrite_partitions(
+            compacted, name, [partition_col],
+            properties={"operation_detail": "compaction", "partitions": sorted(keys)},
+        )
+        return len(keys)
 
     # -- reads ------------------------------------------------------------
     def read(self, name: str) -> DataFrame:

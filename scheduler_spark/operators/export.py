@@ -121,6 +121,34 @@ def write_spatial_parquet(
     )
 
 
+def release_manifest(spark, out_dir: str) -> DataFrame:
+    """Artifact manifest over the written release graphs — the
+    engine-side half of the OCI / Zenodo / GCS exports
+    (/root/reference/userCode/assetGroups/export.py:244-297 pushes each
+    `.nq(.gz)` with media type + annotations; export.py:422-540 PUTs
+    per-file with metadata).  The upload step is an external shell
+    concern; what the engine owns is the manifest: one row per
+    artifact with source partition, byte size, and content sha — the
+    `.bytesum` sidecar contract (defs_test.py:86-98) computed from the
+    artifacts themselves.
+
+    Uses Spark's binaryFile source: distributed, no driver-side
+    listing-and-reading loop.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt.gz")
+        .option("recursiveFileLookup", "true")
+        .load(out_dir)
+    )
+    return files.select(
+        F.regexp_extract("path", r"src_partition=([^/]+)/", 1).alias("src_partition"),
+        F.element_at(F.split("path", "/"), -1).alias("artifact"),
+        F.col("length").alias("n_bytes"),
+        F.sha2("content", 256).alias("bytesum"),
+    )
+
+
 GEO_METADATA = (
     '{"version":"1.0.0","primary_column":"geometry",'
     '"columns":{"geometry":{"encoding":"WKB","geometry_types":["Point"]}}}'

@@ -1243,6 +1243,48 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Multimodal plumbing twin — per-frame hashing as pure column exprs
+# ===========================================================================
+
+@query(
+    "video_frame_hashes",
+    """
+    WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents)
+    SELECT doc_id, CAST(u.i AS BIGINT) AS frame_no,
+           sha256(substring(text, CAST(u.i*16 + 1 AS BIGINT), 16)) AS frame_sha,
+           CAST(strlen(substring(text, CAST(u.i*16 + 1 AS BIGINT), 16)) AS BIGINT)
+             AS frame_bytes
+    FROM t, unnest(range(greatest(CAST(ceil(n / 16.0) AS BIGINT), 1))) AS u(i)
+    """,
+)
+def video_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of the multimodal frame sampler
+    (operators/multimodal.sample_frames): payload sliced at fixed
+    strides, one row + sha per frame — here over the text column so
+    DuckDB can verify (it cannot slice BLOBs); the binary-payload
+    variant with the same explosion contract is pytest-verified.
+    Pure sequence+explode+substr+sha2: codegen, shuffle-free."""
+    d = _t(spark, sf_dir, "documents")
+    # greatest(…, 1): an empty doc still emits one (empty) frame row —
+    # and sequence(0, -1) would otherwise infer step -1, not emptiness
+    n_frames = F.greatest(F.ceil(F.length("text") / 16.0).cast("long"), F.lit(1))
+    chunk = F.substr("text", F.col("i") * 16 + 1, F.lit(16))
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.posexplode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("_p", "i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("frame_no"),
+            F.sha2(chunk, 256).alias("frame_sha"),
+            F.octet_length(chunk).cast("long").alias("frame_bytes"),
+        )
+    )
+
+
+# ===========================================================================
 # Dedup family (training-data ops): exact, n-gram jaccard, embedding cosine
 # ===========================================================================
 

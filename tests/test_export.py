@@ -64,6 +64,65 @@ def test_release_rewrite_is_idempotent(spark, tmp_path):
     assert spark.read.text(out).count() == n1
 
 
+def test_release_manifest_matches_artifacts(spark, tmp_path):
+    """The manifest (OCI/Zenodo engine-side analog) lists one row per
+    artifact with byte-exact size and the .bytesum-contract sha."""
+    import hashlib
+
+    from scheduler_spark.operators.export import release_manifest
+
+    triples = _triples(spark, tmp_path)
+    out = str(tmp_path / "graphs_latest")
+    write_release_graphs(triples, out)
+    # key by (partition, artifact): one task writes IDENTICALLY-named
+    # part files into every partition dir it touches
+    manifest = {
+        (r.src_partition, r.artifact): r
+        for r in release_manifest(spark, out).collect()
+    }
+
+    on_disk = {}
+    for d in os.listdir(out):
+        if not d.startswith("src_partition="):
+            continue
+        src_enc = d.split("=", 1)[1]
+        for f in os.listdir(os.path.join(out, d)):
+            if f.endswith(".txt.gz"):
+                on_disk[(src_enc, f)] = os.path.join(out, d, f)
+    assert set(manifest) == set(on_disk) and manifest
+    for key, path in on_disk.items():
+        raw = open(path, "rb").read()
+        row = manifest[key]
+        assert row.n_bytes == len(raw)
+        assert row.bytesum == hashlib.sha256(raw).hexdigest()
+
+
+def test_compaction_merges_small_files_only(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    df = spark.range(2000).select(
+        F2.concat(F2.lit("p"), F2.pmod("id", F2.lit(3)).cast("string")).alias("src_partition"),
+        F2.col("id").alias("v"),
+    )
+    # fragment: 8 files per partition
+    catalog.overwrite_partitions(df.repartition(24), "t", ["src_partition"])
+
+    def files_of(part):
+        p = os.path.join(catalog.table_path("t"), f"src_partition={part}")
+        return [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+    assert all(len(files_of(f"p{i}")) > 1 for i in range(3))
+    before = {r.v for r in catalog.read("t").collect()}
+
+    n = catalog.compact_partitions("t", "src_partition", target_bytes=1024 * 1024)
+    assert n == 3
+    assert all(len(files_of(f"p{i}")) == 1 for i in range(3))
+    assert {r.v for r in catalog.read("t").collect()} == before
+    # second pass is a no-op (already compact)
+    assert catalog.compact_partitions("t", "src_partition", target_bytes=1024 * 1024) == 0
+
+
 def test_zorder_key_interleaves_bits(spark):
     df = spark.createDataFrame([(3, 5)], "x long, y long")
     got = df.select(zorder_key(F.col("x"), F.col("y"), bits=4).alias("z")).first()["z"]
