@@ -68,8 +68,45 @@ class Catalog:
         return self._commit(name, "overwrite", properties or {})
 
     def append(self, df: DataFrame, name: str, properties: dict[str, Any] | None = None) -> int:
+        before = self._data_files(name)
         df.write.mode("append").parquet(self.table_path(name))
-        return self._commit(name, "append", properties or {})
+        added = sorted(self._data_files(name) - before)
+        props = dict(properties or {})
+        props["added_files"] = added
+        return self._commit(name, "append", props)
+
+    def read_incremental(self, name: str, since_snapshot_id: int) -> DataFrame:
+        """Rows added by append snapshots AFTER `since_snapshot_id` —
+        the incremental-pull contract (`nabu pull` transfers only
+        changed artifacts, /root/reference/userCode/assetGroups/
+        export.py:87-107; Iceberg incremental scan between snapshots).
+
+        Only valid over an append-only history since the anchor: any
+        overwrite in the range rewrites history and a file-level delta
+        would double-count, so it raises instead (Iceberg's incremental
+        scan has the same restriction).
+        """
+        newer = [s for s in self.snapshots(name) if s["snapshot_id"] > since_snapshot_id]
+        non_append = [s for s in newer if s["operation"] != "append"]
+        if non_append:
+            ops = {s["operation"] for s in non_append}
+            raise ValueError(
+                f"incremental read over non-append snapshots {sorted(ops)}; "
+                f"re-anchor on snapshot {self.current_snapshot_id(name)}"
+            )
+        files = [f for s in newer for f in s["properties"].get("added_files", [])]
+        if not files:
+            return self.read(name).limit(0)
+        return self.spark.read.parquet(*files)
+
+    def _data_files(self, name: str) -> set[str]:
+        root = self.table_path(name)
+        out: set[str] = set()
+        for dirpath, _, names in os.walk(root):
+            for f in names:
+                if f.endswith(".parquet"):
+                    out.add(os.path.join(dirpath, f))
+        return out
 
     def delete_partitions(
         self,

@@ -141,6 +141,38 @@ def test_snapshot_log_pruning_oldest_first(spark, tmp_path):
     assert catalog.current_snapshot_id("t") == 13
 
 
+def test_incremental_read_returns_only_new_appends(spark, tmp_path):
+    """Snapshot-delta reads: the incremental-pull contract (`nabu pull`
+    moves only changed artifacts) as an Iceberg-style incremental scan
+    over append snapshots."""
+    import pytest
+
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr("id AS v")
+
+    s1 = catalog.append(batch(0, 10), "log")
+    catalog.append(batch(10, 25), "log")
+    catalog.append(batch(25, 30), "log")
+
+    inc = catalog.read_incremental("log", since_snapshot_id=s1)
+    assert {r.v for r in inc.collect()} == set(range(10, 30))
+    # anchor at head → empty delta (with the right schema)
+    head = catalog.current_snapshot_id("log")
+    assert catalog.read_incremental("log", head).count() == 0
+    assert catalog.read_incremental("log", head).columns == ["v"]
+
+    # an overwrite in the range invalidates file-level deltas → raise
+    catalog.overwrite(batch(0, 5), "log")
+    with pytest.raises(ValueError, match="non-append"):
+        catalog.read_incremental("log", s1)
+    # re-anchoring past the overwrite works again
+    head2 = catalog.current_snapshot_id("log")
+    catalog.append(batch(100, 103), "log")
+    assert {r.v for r in catalog.read_incremental("log", head2).collect()} == {100, 101, 102}
+
+
 def test_checkpoint_has_one_row_per_partition(spark, tmp_path):
     catalog = Catalog(root=str(tmp_path), spark=spark)
     files = synth_files(spark, n_files=200)
