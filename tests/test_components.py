@@ -66,6 +66,28 @@ def test_result_partition_order_independent(spark):
     assert r1 == r8
 
 
+def test_distributed_path_at_scale_matches_union_find(spark):
+    """150k distributed-generated edges through the star loop — the one
+    iterative algorithm, exercised at 500× the toy sizes and compared
+    against driver union-find on the identical edge set."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(150_000).select(
+        F.concat(F.lit("n"), F.pmod(F.xxhash64("id", F.lit("u")), F.lit(30_000)).cast("string")).alias("src_entity"),
+        F.concat(F.lit("n"), F.pmod(F.xxhash64("id", F.lit("v")), F.lit(30_000)).cast("string")).alias("dst_entity"),
+    ).filter(F.col("src_entity") != F.col("dst_entity"))
+    dist = {
+        r.entity_id: r.canonical_id
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    fast = {
+        r.entity_id: r.canonical_id
+        for r in connected_components(edges).collect()  # driver union-find
+    }
+    assert dist == fast
+    assert len(dist) >= 29_000  # nearly every node appears
+
+
 def test_byte_budget_forces_distributed_path(spark):
     """Long entity ids exceed the byte budget even at a tiny edge count:
     the distributed loop must kick in and agree with union-find."""
