@@ -1243,6 +1243,63 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.3 — interval (time-window) join, encoded as equi-join + predicate
+# ===========================================================================
+
+@query(
+    "interval_join_click_purchase",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='click') c
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def interval_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases within 30 min after a click by the same user.  The
+    time predicate rides an EQUI-join on user_id (hash-partitionable;
+    per-user candidate products are bounded), never a raw theta join —
+    the scalable encoding of interval joins."""
+    e = _t(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    return (
+        c.join(p, "user_id")
+        .filter(
+            (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select("click_id", "purchase_id")
+    )
+
+
+# ===========================================================================
+# §2.4 — exact per-group percentiles
+# ===========================================================================
+
+@query(
+    "group_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+    )
+
+
+# ===========================================================================
 # Multimodal plumbing twin — per-frame hashing as pure column exprs
 # ===========================================================================
 
