@@ -99,6 +99,38 @@ class Catalog:
             return self.read(name).limit(0)
         return self.spark.read.parquet(*files)
 
+    def read_at(self, name: str, snapshot_id: int) -> DataFrame:
+        """Time-travel read: the table as of `snapshot_id` (Iceberg
+        `VERSION AS OF` / lakeFS ref-read analog,
+        /root/reference/userCode/lib/lakefs.py:60-111).
+
+        Reconstructable only over an append-only history up to the
+        anchor — the per-snapshot added-files manifests ARE the
+        version metadata; an overwrite discards replaced files, so
+        histories containing one are not re-readable and raise.
+        """
+        upto = [s for s in self.snapshots(name) if s["snapshot_id"] <= snapshot_id]
+        if not upto:
+            raise ValueError(f"no snapshot <= {snapshot_id} for table {name!r}")
+        non_append = sorted({s["operation"] for s in upto if s["operation"] != "append"})
+        if non_append:
+            raise ValueError(
+                f"time travel across non-append snapshots {non_append}: "
+                "replaced data files no longer exist"
+            )
+        files = [f for s in upto for f in s["properties"].get("added_files", [])]
+        if not files:
+            return self.read(name).limit(0)
+        return self.spark.read.parquet(*files)
+
+    def read_merged_schema(self, name: str) -> DataFrame:
+        """Schema-evolution read: union of all column sets across the
+        table's files (parquet mergeSchema) — appends may add columns
+        over time; older rows surface NULL for columns they predate."""
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            self.table_path(name)
+        )
+
     def _data_files(self, name: str) -> set[str]:
         root = self.table_path(name)
         out: set[str] = set()

@@ -173,6 +173,36 @@ def test_incremental_read_returns_only_new_appends(spark, tmp_path):
     assert {r.v for r in catalog.read_incremental("log", head2).collect()} == {100, 101, 102}
 
 
+def test_time_travel_read_at_snapshot(spark, tmp_path):
+    import pytest
+
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    s1 = catalog.append(spark.range(0, 10).selectExpr("id AS v"), "log")
+    s2 = catalog.append(spark.range(10, 25).selectExpr("id AS v"), "log")
+    catalog.append(spark.range(25, 30).selectExpr("id AS v"), "log")
+
+    assert {r.v for r in catalog.read_at("log", s1).collect()} == set(range(10))
+    assert {r.v for r in catalog.read_at("log", s2).collect()} == set(range(25))
+    assert catalog.read("log").count() == 30  # head unaffected
+    with pytest.raises(ValueError, match="no snapshot"):
+        catalog.read_at("log", 0)
+    catalog.overwrite(spark.range(3).selectExpr("id AS v"), "log")
+    with pytest.raises(ValueError, match="non-append"):
+        catalog.read_at("log", catalog.current_snapshot_id("log"))
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    catalog.append(spark.range(5).selectExpr("id AS v"), "evo")
+    catalog.append(
+        spark.range(5, 8).selectExpr("id AS v", "id * 10 AS extra"), "evo"
+    )
+    merged = catalog.read_merged_schema("evo")
+    assert set(merged.columns) == {"v", "extra"}
+    rows = {r.v: r.extra for r in merged.collect()}
+    assert rows[6] == 60 and rows[0] is None  # old rows NULL-fill
+
+
 def test_checkpoint_has_one_row_per_partition(spark, tmp_path):
     catalog = Catalog(root=str(tmp_path), spark=spark)
     files = synth_files(spark, n_files=200)
