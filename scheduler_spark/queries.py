@@ -1243,6 +1243,76 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Canonicalization core — connected components, ORACLE-CHECKED: the one
+# custom iterative algorithm verified against a DuckDB recursive-CTE
+# transitive closure on a deterministic synthetic graph
+# ===========================================================================
+
+@query(
+    "connected_components_oracle",
+    """
+    WITH RECURSIVE
+    raw AS (
+      SELECT concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
+                    CAST((o_orderkey * 7919) % 50 AS VARCHAR)) AS u,
+             concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
+                    CAST((o_orderkey * 104729) % 50 AS VARCHAR)) AS v
+      FROM orders WHERE o_orderkey < 1500),
+    edges AS (
+      SELECT u, v FROM raw WHERE u != v
+      UNION
+      SELECT v, u FROM raw WHERE u != v),
+    reach AS (
+      SELECT DISTINCT u AS src, u AS dst FROM edges
+      UNION
+      SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT src AS entity_id, min(dst) AS canonical_id FROM reach GROUP BY src
+    """,
+)
+def connected_components_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connected_components (large-star/small-star ≡ union-find) vs the
+    SQL ground truth: transitive closure by recursive CTE, canonical =
+    lexicographic min of each closure — exactly the operator's
+    contract.  The graph (~280 nodes, 56 components) derives
+    deterministically from o_orderkey on both sides."""
+    from .operators.components import connected_components
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    u = F.concat(
+        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
+        F.lit("_"), F.pmod(F.col("o_orderkey") * 7919, F.lit(50)).cast("string"),
+    )
+    v = F.concat(
+        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
+        F.lit("_"), F.pmod(F.col("o_orderkey") * 104729, F.lit(50)).cast("string"),
+    )
+    edges = o.select(u.alias("src_entity"), v.alias("dst_entity"))
+    # threshold=0 forces the DISTRIBUTED large-star/small-star loop —
+    # the scale-critical path — under the oracle; the driver union-find
+    # fast path is equivalence-tested against it in tests/test_components.py
+    return connected_components(edges, small_graph_threshold=0)
+
+
+# ===========================================================================
+# KG analytics over the committed golden triples — entity popularity
+# ===========================================================================
+
+def kg_entity_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity in-degree top-k over the KG — the popularity/degree
+    distribution a KG consumer asks first; runs on the live pipeline
+    output, oracled against the committed golden."""
+    t = kg_pipeline_triples(spark, sf_dir)
+    return (
+        t.filter(F.col("pred") == "links_to")
+        .groupBy(F.col("obj").alias("entity"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.desc("degree"), "entity")
+        .limit(10)
+    )
+
+
+# ===========================================================================
 # §2.3 — interval (time-window) join, encoded as equi-join + predicate
 # ===========================================================================
 
@@ -2033,6 +2103,15 @@ _ORACLE_SQL["kg_3hop_chain"] = f"""
     JOIN defines_b b ON a.ident = b.ident AND a.file_a != b.file_b
     JOIN links l ON b.file_b = l.file_b
     ORDER BY a.file_a, l.entity LIMIT 1000
+"""
+
+# degree top-k runs the live pipeline, oracled against the golden
+_SPARK_QUERIES["kg_entity_degree_topk"] = kg_entity_degree_topk
+_ORACLE_SQL["kg_entity_degree_topk"] = f"""
+    SELECT obj AS entity, CAST(count(*) AS BIGINT) AS degree
+    FROM read_parquet('{_GOLDEN_TRIPLES_GLOB}')
+    WHERE pred = 'links_to'
+    GROUP BY obj ORDER BY degree DESC, entity LIMIT 10
 """
 
 _ROWS_ONLY: dict[str, Query] = {
