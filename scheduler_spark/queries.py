@@ -274,6 +274,36 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "window_range_frame_7d",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+           AS spend_7d
+    FROM orders
+    """,
+)
+def window_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame — trailing 7-day spend.  Spark
+    has no interval RANGE frames; the equivalent is an integer day
+    offset ordering with rangeBetween(-7, 0), which includes peer rows
+    by VALUE exactly like the SQL interval frame."""
+    o = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-7, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w).cast("double"), 2).alias("spend_7d"),
+    )
+
+
 # ===========================================================================
 # §2.6 set ops / §2.2 distinct
 # ===========================================================================
