@@ -10,7 +10,9 @@ technique instead:
 
     union(left tagged 1, right tagged 0)
     → window per key ordered by (ts, tag)
-    → last(right payload, ignorenulls=True) over rows-unbounded-preceding
+    → last(struct(right payload), ignorenulls=True) over
+      rows-unbounded-preceding   [one struct per row, so a NULL inside
+      the matched row's payload is preserved, never backfilled]
     → keep left rows
 
 Cost: ONE shuffle on the key (the window exchange) + a sort — the same
@@ -50,20 +52,29 @@ def asof_join(
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
 
+    # The right payload travels as ONE struct, and last(ignorenulls) is
+    # taken over the struct, not per column: per-column last would
+    # backfill a NULL payload column from an OLDER right row — a
+    # combined row that never existed — and would drop a matched left
+    # row under how='inner' when the true match has all-NULL payload.
+    # The struct itself is null exactly on left rows (and before any
+    # right row), so struct-not-null IS the inner-match predicate, and a
+    # matched row's own NULLs pass through as-is (DuckDB ASOF parity).
     l_struct_type = left.select(F.struct(*left.columns).alias("_l")).schema["_l"].dataType
+    r_struct_type = right.select(F.struct(*payload).alias("_r")).schema["_r"].dataType
     l2 = left.select(
         *[F.col(k) for k in keys],
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r2 = right.select(
         *[F.col(k) for k in keys],
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_struct_type).alias("_l"),
-        *[F.col(c) for c in payload],
+        F.struct(*payload).alias("_r"),
     )
     w = (
         Window.partitionBy(*keys)
@@ -74,15 +85,15 @@ def asof_join(
     matched = u.select(
         "_side",
         "_l",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     ).filter(F.col("_side") == 1)
-    out = matched.select(*[F.col(f"_l.{c}").alias(c) for c in left.columns], *payload)
+    out = matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r.{c}").alias(c) for c in payload],
+        F.col("_r").isNotNull().alias("_matched"),
+    )
     if how == "inner":
-        # no prior right row ⇒ ALL payload columns are null
-        any_payload = F.lit(False)
-        for c in payload:
-            any_payload = any_payload | F.col(c).isNotNull()
-        out = out.filter(any_payload)
+        out = out.filter(F.col("_matched"))
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    return out
+    return out.drop("_matched")

@@ -85,6 +85,38 @@ def test_asof_plan_is_single_shuffle(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_asof_null_payload_is_not_backfilled(spark):
+    """ASOF row semantics: if the matched (latest prior) right row has a
+    NULL payload column, the output carries that NULL — it must NOT be
+    backfilled from an older right row (per-column last() would)."""
+    left = spark.createDataFrame([(1, "u", 30)], "id long, k string, t long")
+    right = spark.createDataFrame(
+        [("u", 10, 7.0, "old"), ("u", 20, None, "new")],
+        "k string, t long, payload double, tag string",
+    )
+    rows = asof_join(left, right, on="k", ts="t", how="inner").collect()
+    assert len(rows) == 1
+    # matched row is t=20 ("new"); its NULL payload passes through
+    assert rows[0].tag == "new" and rows[0].payload is None
+
+
+def test_asof_inner_keeps_all_null_payload_match(spark):
+    """how='inner' drops only left rows with NO prior right row; a match
+    whose payload happens to be entirely NULL still counts as a match."""
+    left = spark.createDataFrame(
+        [(1, "u", 30), (2, "u", 3)], "id long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u", 10, None)], "k string, t long, payload double"
+    )
+    got = {
+        r.id: r.payload
+        for r in asof_join(left, right, on="k", ts="t", how="inner").collect()
+    }
+    # id 1 matched (payload NULL as-is); id 2 has no prior row → dropped
+    assert got == {1: None}
+
+
 def test_asof_rejects_colliding_columns(spark):
     with pytest.raises(ValueError):
         asof_join(
