@@ -24,18 +24,18 @@ corpus are pruned: their triples/mentions partitions are dropped and
 their checkpoint rows retired (≈ filter_partitions,
 /root/reference/userCode/lib/dagster.py:19-30).
 
-Quarantine accounting rides the fingerprint pass as an `observe()`
-metric (zero extra scans of the corpus when nothing is quarantined —
-at 100 TB a standalone `bad.count()` would be one full read per run);
-the quarantine WRITE only happens, and only rescans, when the metric
-is non-zero.
+Quarantine accounting, partition fingerprints, and the vanished-source
+set all derive from ONE materialized metadata pass over the corpus
+(repo, path, commit, content_sha, reason — ~100 B/row, localCheckpoint
+holds it at any content scale), so neither the clean nor the dirty path
+ever rescans the content column before extraction.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import Catalog
@@ -122,29 +122,28 @@ def run_pipeline(
     failure (exit 3 ⇒ warn, /root/reference/userCode/lib/utils.py:89-97);
     strict=True escalates to StrictModeError after recording them.
     """
-    # -- 0. validation tagging (counted via observe on the next pass) ----
+    # -- 0./1. single metadata pass: validation tagging + fingerprints ---
+    # ONE scan of `files` materializes a slim per-row frame (repo, path,
+    # commit, content_sha, _reason) — ~100 B/row regardless of content
+    # size, so localCheckpoint holds it even at corpus scales where the
+    # content column is TBs.  Quarantine rows, partition fingerprints,
+    # AND the vanished-source set all derive from it without rescanning
+    # the corpus (clean and dirty paths alike).
     reason = (
         F.when(F.col("content").isNull(), "null_content")
         .when(F.length("content") > MAX_CONTENT_BYTES, "oversized_content")
         .otherwise(F.lit(None))
     )
-    tagged = files.withColumn("_reason", reason)
-    quarantine_obs = Observation()
-    tagged = tagged.observe(
-        quarantine_obs,
-        F.sum(F.when(F.col("_reason").isNotNull(), 1).otherwise(0)).alias("n_bad"),
+    slim = (
+        with_content_sha(files.withColumn("_reason", reason))
+        .select("repo", "path", "commit", "lang", "content_sha", "_reason")
+        .localCheckpoint()
     )
-    good = tagged.filter(F.col("_reason").isNull()).drop("_reason")
-    files_sha = with_content_sha(good)
-
-    # -- 1. dirty/stale partition selection (bytesum-skip + prune) -------
-    fp = fingerprint_partitions(files_sha).localCheckpoint()
+    bad = slim.filter(F.col("_reason").isNotNull())
+    n_quarantined = bad.count()
+    fp = fingerprint_partitions(slim.filter(F.col("_reason").isNull())).localCheckpoint()
     checkpoint = catalog.read(CHECKPOINT_TABLE) if catalog.exists(CHECKPOINT_TABLE) else None
-    # the fingerprint job above is the FIRST and only pre-extraction
-    # scan of `files`; the observe metric is final once it ran
-    n_quarantined = int(quarantine_obs.get["n_bad"] or 0)
     if n_quarantined:
-        bad = files.withColumn("_reason", reason).filter(F.col("_reason").isNotNull())
         catalog.append(
             bad.select(
                 "repo", "path", "commit",
@@ -161,12 +160,17 @@ def run_pipeline(
 
     # prune sources that vanished from the corpus: drop their table
     # partitions (metadata-only) and retire their checkpoint rows —
-    # without this a removed repo's triples persist forever
+    # without this a removed repo's triples persist forever.  Presence
+    # is judged on the RAW input (pre-validation `slim`), not on the
+    # post-quarantine fingerprints: a source whose rows were all
+    # quarantined this run is degraded, not removed — pruning it would
+    # contradict the warn-and-continue quarantine contract.
     n_pruned = 0
     if checkpoint is not None:
+        present = slim.select(F.col("repo").alias("partition")).distinct()
         vanished = (
             checkpoint.select("partition")
-            .join(fp.select("partition"), "partition", "left_anti")
+            .join(present, "partition", "left_anti")
             .collect()
         )
         if vanished:
@@ -177,9 +181,7 @@ def run_pipeline(
                     catalog.delete_partitions(
                         table, "src_partition", keys, properties={"run_id": run_id}
                     )
-            checkpoint = checkpoint.join(
-                fp.select("partition"), "partition", "left_semi"
-            )
+            checkpoint = checkpoint.join(present, "partition", "left_semi")
 
     # localCheckpoint (eager), not cache(): this plan READS the
     # checkpoint parquet that step 5 overwrites, and a cached plan is
@@ -197,8 +199,17 @@ def run_pipeline(
             skipped=True, n_quarantined=n_quarantined, n_pruned_partitions=n_pruned,
         )
 
+    # second (and final) corpus scan: content re-read only as the
+    # extraction input; every metadata consumer (in_lang triples below)
+    # reads the checkpointed slim frame instead
     dirty_keys = dirty.select(F.col("partition").alias("repo"))
-    subset = files_sha.join(dirty_keys, "repo", "left_semi")
+    good = files.withColumn("_reason", reason).filter(F.col("_reason").isNull()).drop("_reason")
+    subset = with_content_sha(good).join(dirty_keys, "repo", "left_semi")
+    meta_subset = (
+        slim.filter(F.col("_reason").isNull())
+        .drop("_reason")
+        .join(dirty_keys, "repo", "left_semi")
+    )
 
     # -- 2. salted extraction (mega-repo skew bound + per-source caps) ---
     n_parts = extraction_partitions or spark.sparkContext.defaultParallelism
@@ -212,7 +223,7 @@ def run_pipeline(
     ident_entities = canonicalize_values(ident_mentions.select("value"), edges)
 
     # -- 4. materialize --------------------------------------------------
-    triples = build_triples(subset, linked, ident_mentions, ident_entities, run_id).cache()
+    triples = build_triples(meta_subset, linked, ident_mentions, ident_entities, run_id).cache()
     n_triples = triples.count()
 
     lineage = stage_counters(triples, "src_partition", run_id, "materialize").cache()
