@@ -68,12 +68,30 @@ class Catalog:
         return self._commit(name, "overwrite", properties or {})
 
     def append(self, df: DataFrame, name: str, properties: dict[str, Any] | None = None) -> int:
+        """Append rows and record the added data files in the snapshot.
+
+        Single-writer per table assumed (as in the reference's
+        per-source jobs): the added set is the before/after directory
+        diff, so a concurrent writer between the two walks would be
+        misattributed.  Manifest paths are stored RELATIVE to the
+        catalog root so snapshots survive the root being moved or
+        mounted elsewhere.
+        """
         before = self._data_files(name)
         df.write.mode("append").parquet(self.table_path(name))
-        added = sorted(self._data_files(name) - before)
+        added = sorted(
+            os.path.relpath(f, self.root) for f in self._data_files(name) - before
+        )
         props = dict(properties or {})
         props["added_files"] = added
         return self._commit(name, "append", props)
+
+    def _abs(self, manifest_path: str) -> str:
+        """Manifest paths are root-relative since round 3; absolute
+        paths from older logs still resolve as-is."""
+        if os.path.isabs(manifest_path):
+            return manifest_path
+        return os.path.join(self.root, manifest_path)
 
     def read_incremental(self, name: str, since_snapshot_id: int) -> DataFrame:
         """Rows added by append snapshots AFTER `since_snapshot_id` —
@@ -94,7 +112,7 @@ class Catalog:
                 f"incremental read over non-append snapshots {sorted(ops)}; "
                 f"re-anchor on snapshot {self.current_snapshot_id(name)}"
             )
-        files = [f for s in newer for f in s["properties"].get("added_files", [])]
+        files = [self._abs(f) for s in newer for f in s["properties"].get("added_files", [])]
         if not files:
             return self.read(name).limit(0)
         return self.spark.read.parquet(*files)
@@ -118,7 +136,7 @@ class Catalog:
                 f"time travel across non-append snapshots {non_append}: "
                 "replaced data files no longer exist"
             )
-        files = [f for s in upto for f in s["properties"].get("added_files", [])]
+        files = [self._abs(f) for s in upto for f in s["properties"].get("added_files", [])]
         if not files:
             return self.read(name).limit(0)
         return self.spark.read.parquet(*files)
@@ -215,6 +233,78 @@ class Catalog:
             properties={"operation_detail": "compaction", "partitions": sorted(keys)},
         )
         return len(keys)
+
+    # -- branches -----------------------------------------------------------
+    # The lakeFS branch→commit→merge contract
+    # (/root/reference/userCode/lib/lakefs.py:60-111, lib/classes.py:267-345,
+    # assetGroups/export.py:543-554): create a branch if absent, commit
+    # artifacts to it, merge to main.  A branch pins the table's data
+    # files at creation time as its base; branch appends land in a
+    # sibling directory invisible to main reads; merge moves the branch
+    # files into the main table and commits them as ONE append snapshot,
+    # so time-travel and incremental reads work across the merge.
+    # Append-only tables (the same restriction as read_at).
+
+    def _branch_table(self, name: str, branch: str) -> str:
+        return f"{name}._branch_{branch}"
+
+    def create_branch(self, name: str, branch: str) -> int:
+        bt = self._branch_table(name, branch)
+        if self.snapshots(bt):
+            raise ValueError(f"branch {branch!r} already exists for table {name!r}")
+        base = sorted(os.path.relpath(f, self.root) for f in self._data_files(name))
+        return self._commit(bt, "create_branch", {"source_table": name, "base_files": base})
+
+    def branch_exists(self, name: str, branch: str) -> bool:
+        return bool(self.snapshots(self._branch_table(name, branch)))
+
+    def append_to_branch(
+        self, df: DataFrame, name: str, branch: str,
+        properties: dict[str, Any] | None = None,
+    ) -> int:
+        if not self.branch_exists(name, branch):
+            raise ValueError(f"no branch {branch!r} for table {name!r} — create_branch first")
+        return self.append(df, self._branch_table(name, branch), properties)
+
+    def read_branch(self, name: str, branch: str) -> DataFrame:
+        """The table as seen from the branch: base files at branch
+        creation ∪ the branch's own appends.  Main writes after the
+        branch point are invisible (snapshot isolation, not rebase)."""
+        bt = self._branch_table(name, branch)
+        snaps = self.snapshots(bt)
+        if not snaps:
+            raise ValueError(f"no branch {branch!r} for table {name!r}")
+        base = [self._abs(f) for f in snaps[0]["properties"]["base_files"]]
+        own = sorted(self._data_files(bt))
+        files = base + own
+        if not files:
+            return self.read(name).limit(0)
+        return self.spark.read.parquet(*files)
+
+    def merge_branch_to_main(
+        self, name: str, branch: str, properties: dict[str, Any] | None = None
+    ) -> int:
+        """Move the branch's data files into the main table directory
+        and commit them as one append snapshot; the branch ref is
+        deleted (lakeFS merge + branch cleanup)."""
+        import shutil
+
+        bt = self._branch_table(name, branch)
+        if not self.snapshots(bt):
+            raise ValueError(f"no branch {branch!r} for table {name!r}")
+        dest_root = self.table_path(name)
+        os.makedirs(dest_root, exist_ok=True)
+        moved = []
+        for f in sorted(self._data_files(bt)):
+            dest = os.path.join(dest_root, f"{branch}-{os.path.basename(f)}")
+            shutil.move(f, dest)
+            moved.append(os.path.relpath(dest, self.root))
+        shutil.rmtree(self.table_path(bt), ignore_errors=True)
+        os.remove(self._snapshot_log(bt))
+        props = dict(properties or {})
+        props["merged_branch"] = branch
+        props["added_files"] = moved
+        return self._commit(name, "append", props)
 
     # -- reads ------------------------------------------------------------
     def read(self, name: str) -> DataFrame:

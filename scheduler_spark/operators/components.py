@@ -138,14 +138,17 @@ def connected_components(
         .localCheckpoint()
     )
     # one aggregate decides the path: edge count AND estimated collect
-    # size (sum of id lengths) — both must fit the driver budget
+    # size — both must fit the driver budget.  octet_length, not length:
+    # character counts undercount multi-byte UTF-8 IRIs up to 4×; plus
+    # ~120 B/edge for Python tuple/str object overhead on the driver.
     size_row = e.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
-            F.sum((F.length("u") + F.length("v")).cast("long")), F.lit(0)
-        ).alias("est_bytes"),
+            F.sum((F.octet_length("u") + F.octet_length("v")).cast("long")), F.lit(0)
+        ).alias("payload_bytes"),
     ).first()
-    n_edges, est_bytes = size_row["n"], size_row["est_bytes"]
+    n_edges = size_row["n"]
+    est_bytes = size_row["payload_bytes"] + n_edges * 120
     if n_edges == 0:
         return enforce(
             e.sparkSession.createDataFrame([], ENTITIES), ENTITIES
