@@ -114,6 +114,7 @@ def run_pipeline(
     extraction_partitions: int | None = None,
     strict: bool = False,
     source_widths: DataFrame | None = None,
+    alias_optouts: DataFrame | None = None,
 ) -> PipelineResult:
     """One incremental sync of the corpus into the triples table.
 
@@ -217,7 +218,14 @@ def run_pipeline(
     mentions = extract_mentions(salted).cache()
 
     # -- 3. entity linking ----------------------------------------------
-    linked = link_by_alias(mentions, aliases)
+    # per-source enrichment toggle (add_associated_mainstems=false ⇒ no
+    # alias links for that source; sources/sitemap.alias_enrichment_optouts)
+    link_input = mentions
+    if alias_optouts is not None:
+        link_input = mentions.join(
+            F.broadcast(alias_optouts.select("repo")), "repo", "left_anti"
+        )
+    linked = link_by_alias(link_input, aliases)
     ident_mentions = mentions.filter(F.col("kind") == "identifier")
     edges = lsh_candidate_pairs(ident_mentions.select("value"))
     ident_entities = canonicalize_values(ident_mentions.select("value"), edges)

@@ -104,6 +104,24 @@ def source_widths(sources: DataFrame) -> DataFrame:
     ).filter(F.col("max_concurrency").isNotNull())
 
 
+def alias_enrichment_optouts(sources: DataFrame) -> DataFrame:
+    """Sources that declared add_associated_mainstems=false: (repo,).
+
+    The reference attaches mainstem metadata to a source's release
+    graph only when enrichment applies
+    (/root/reference/userCode/lib/containers.py:152-157, consumed at
+    release_graph_generator.py:41-77; flag declared per source,
+    testdata/sitemap.xml:13).  In the Spark recast the alias-link join
+    (mainstem-enrichment analog) is skipped for opted-out sources:
+    their mentions never enter the join, so they emit no `links_to`
+    triples.  Absent/NULL means enriched — only an explicit false
+    opts out.
+    """
+    return sources.filter(F.col("add_associated_mainstems") == False).select(  # noqa: E712
+        F.col("sitemap_id").alias("repo")
+    )
+
+
 def refresh_partitions(
     current: DataFrame, existing_keys: DataFrame, key: str = "sitemap_id"
 ) -> tuple[DataFrame, DataFrame]:

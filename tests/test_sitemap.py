@@ -65,3 +65,42 @@ def test_refresh_partitions_add_and_prune(spark):
     to_add, to_delete = refresh_partitions(current, existing)
     assert [r.sitemap_id for r in to_add.collect()] == ["ref:mainstems"]
     assert [r.sitemap_id for r in to_delete.collect()] == ["ref:stale"]
+
+
+def test_alias_enrichment_optout_suppresses_links_to(spark, tmp_path):
+    """A source with add_associated_mainstems=false emits NO links_to
+    triples (the mainstem-enrichment analog is skipped for it), while
+    its defines/in_lang triples and every other source's links remain —
+    reference gating: lib/containers.py:152-157 consumed per-partition
+    at release_graph_generator.py:41-77."""
+    from pyspark.sql import functions as F
+
+    from scheduler_spark.catalog import Catalog
+    from scheduler_spark.pipeline import TRIPLES_TABLE, run_pipeline
+    from scheduler_spark.sources.sitemap import alias_enrichment_optouts
+    from scheduler_spark.synth import alias_df, synth_files
+
+    files = synth_files(spark, n_files=120)
+    victim = files.select("repo").first().repo
+    sources = spark.createDataFrame(
+        [(victim, False), ("org/other", True), ("org/nullflag", None)],
+        "sitemap_id string, add_associated_mainstems boolean",
+    )
+    optouts = alias_enrichment_optouts(sources)
+    assert [r.repo for r in optouts.collect()] == [victim]  # NULL ≠ opt-out
+
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    run_pipeline(
+        spark, files, alias_df(spark), catalog, run_id="m1", alias_optouts=optouts
+    )
+    t = catalog.read(TRIPLES_TABLE)
+    victim_links = t.filter(
+        (F.col("src_partition") == victim) & (F.col("pred") == "links_to")
+    ).count()
+    other_links = t.filter(
+        (F.col("src_partition") != victim) & (F.col("pred") == "links_to")
+    ).count()
+    victim_rest = t.filter(
+        (F.col("src_partition") == victim) & (F.col("pred") != "links_to")
+    ).count()
+    assert victim_links == 0 and other_links > 0 and victim_rest > 0
