@@ -134,6 +134,47 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.3 joins — large⨝large sort-merge join (no broadcast eligibility)
+# ===========================================================================
+
+@query(
+    "smj_large_join",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(l_extendedprice*(1-l_discount)) AS DOUBLE), 2) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def smj_large_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB mention⨝mention join shape: two fact tables joined on
+    a high-cardinality key where neither side fits a broadcast.  The
+    MERGE hint pins the plan to a shuffle sort-merge join at every SF
+    (at sf0.01 the optimizer would broadcast; at production scale it
+    cannot), so the gate exercises — and tests/test_plans.py asserts —
+    the SMJ + AQE(skew-split) path itself."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        .hint("merge")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+# ===========================================================================
 # §2.3 joins — 6-way star join (local supplier volume)
 # ===========================================================================
 
@@ -2191,6 +2232,7 @@ _PRIORITY = [
     "suffix_artifact_filter",
     "log_severity_rollup",
     "scan_pushdown_projection",
+    "smj_large_join",
     # rows-only scale paths (weaker driver check, still recorded)
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -51,6 +51,19 @@ def test_alias_dim_join_never_shuffles_fact_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_smj_large_join_is_sort_merge_under_aqe(spark, sf_dir):
+    """The large⨝large gate must exercise the plan the 100 TB
+    mention⨝mention join would get: shuffle sort-merge join (never a
+    broadcast, which small-SF stats would otherwise pick) under an
+    adaptive plan with skew-join splitting armed."""
+    df = q.all_queries()["smj_large_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "AdaptiveSparkPlan" in plan
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
