@@ -2018,6 +2018,50 @@ def ann_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_golden_docs(spark: SparkSession) -> DataFrame:
+    """The deterministic corpus behind the simhash recall gate and its
+    committed golden (tools/make_golden.py) — sf-independent like the
+    KG goldens, so the DuckDB side can recompute the truth set from
+    the pinned (doc_id, sim) parquet."""
+    from .synth import synth_files
+
+    return synth_files(spark, 400).select(
+        F.col("path").alias("doc_id"), F.col("content").alias("text")
+    )
+
+
+@query("dedup_simhash_recall")
+def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of SimHash banded near-dup pairs vs the exact hamming
+    truth set (bit_count(xor) <= 3 over all pairs of simhash values).
+    The 4x16-bit banding is pigeonhole-exact at radius 3, so the gate
+    demands FULL recall (n_hit >= n_true); the DuckDB oracle recomputes
+    n_true from the committed golden simhash table — a drift in
+    simhash_table's bits or a banding regression both fail the gate."""
+    from .operators.dedup import simhash_pairs, simhash_table
+
+    docs = simhash_golden_docs(spark)
+    sims = simhash_table(docs)
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .select("doc_a", "doc_b")
+    )
+    cand = simhash_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            (F.col("n_hit") >= F.col("n_true")).alias("recall_ok"),
+        )
+    )
+
+
 # ===========================================================================
 # §2.1 scan shape — projection+filter pushdown
 # ===========================================================================
@@ -2178,6 +2222,20 @@ _ORACLE_SQL["kg_3hop_chain"] = f"""
 
 # degree top-k runs the live pipeline, oracled against the golden
 _SPARK_QUERIES["kg_entity_degree_topk"] = kg_entity_degree_topk
+
+_GOLDEN_SIMHASH_GLOB = str(
+    _Path(__file__).resolve().parent.parent
+    / "testdata_golden" / "simhash.parquet" / "*.parquet"
+)
+
+_ORACLE_SQL["dedup_simhash_recall"] = f"""
+    WITH s AS (SELECT doc_id, sim FROM read_parquet('{_GOLDEN_SIMHASH_GLOB}')),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3)
+    SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok FROM truth
+"""
 _ORACLE_SQL["kg_entity_degree_topk"] = f"""
     SELECT obj AS entity, CAST(count(*) AS BIGINT) AS degree
     FROM read_parquet('{_GOLDEN_TRIPLES_GLOB}')
@@ -2209,6 +2267,7 @@ _PRIORITY = [
     "dedup_minhash_lsh_recall",
     "ann_ivf_recall",
     "ann_embedding_lsh_recall",
+    "dedup_simhash_recall",
     # KG pipeline goldens + graph ops
     "kg_pipeline_triples",
     "kg_3hop_chain",

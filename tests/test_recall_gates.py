@@ -58,3 +58,37 @@ def test_ivf_topk_recall_at_bench_scale(spark):
     # 0.88 with headroom for benign re-tuning, and the near-dup contract
     # is separately pinned at 0.99 above.
     assert recall >= 0.85, (n_true, recall)
+
+
+def test_simhash_recall_at_bench_scale(spark):
+    """SimHash banding must hold FULL recall at hamming<=3 (pigeonhole
+    over 4x16-bit bands) on the sf0.1 documents table — the driver gate
+    measures the same contract on the deterministic golden corpus.
+
+    max_bucket=1024 keeps every bucket (measured max 830 at sf0.1) so
+    the pin isolates the pigeonhole guarantee; with the default 256 cap
+    this corpus — deliberately near-dup-saturated — sheds its hottest
+    buckets and recall drops to ~0.27, which is the cap doing its job
+    observably, not a banding bug."""
+    from scheduler_spark.operators.dedup import simhash_pairs, simhash_table
+
+    docs = (
+        spark.read.parquet(f"{SF01}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    sims = simhash_table(docs).cache()
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sa"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    cand = simhash_pairs(docs, max_hamming=3, max_bucket=1024).select("doc_a", "doc_b")
+    n_true, recall = _recall(truth, cand, ["doc_a", "doc_b"])
+    sims.unpersist()
+    truth.unpersist()
+    assert n_true > 0
+    assert recall == 1.0, (n_true, recall)

@@ -27,7 +27,8 @@ GOLDEN_DIR = Path(__file__).resolve().parents[1] / "testdata_golden"
 
 
 def main() -> None:
-    from scheduler_spark.queries import kg_pipeline_triples
+    from scheduler_spark.queries import kg_pipeline_triples, simhash_golden_docs
+    from scheduler_spark.operators.dedup import simhash_table
     from scheduler_spark.session import get_spark
 
     spark = get_spark(app_name="make_golden", parallelism=8)
@@ -37,6 +38,16 @@ def main() -> None:
     t.coalesce(1).write.mode("overwrite").parquet(out)
     n = spark.read.parquet(out).count()
     print(f"wrote {n} triples to {out}")
+
+    # simhash golden: (doc_id, sim) over the deterministic corpus the
+    # dedup_simhash_recall gate uses — DuckDB recomputes the exact
+    # hamming<=3 truth set from it (xor + bit_count), so any drift in
+    # simhash_table's bits fails the gate
+    sims = simhash_table(simhash_golden_docs(spark))
+    out2 = str(GOLDEN_DIR / "simhash.parquet")
+    sims.coalesce(1).write.mode("overwrite").parquet(out2)
+    n2 = spark.read.parquet(out2).count()
+    print(f"wrote {n2} simhash rows to {out2}")
     spark.stop()
 
 
