@@ -101,6 +101,45 @@ def run_dedup_ingest(
     q.awaitTermination()
 
 
+def run_dedup_ingest_to_catalog(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    catalog,
+    table: str,
+    checkpoint_dir: str,
+    ts_col: str = "ingest_ts",
+) -> None:
+    """AvailableNow drain of the dedup stream, sunk through
+    `catalog.append` via foreachBatch: streamed ingest shares the
+    snapshot log / incremental-read / time-travel semantics with batch
+    writes instead of dropping bare parquet beside them (the
+    reference's release artifacts land in the same versioned store
+    whichever job produced them,
+    /root/reference/userCode/lib/lakefs.py:60-111).
+
+    Exactly-once: the streaming checkpoint commits source offsets per
+    batch, and each batch becomes one snapshot whose properties carry
+    the batch id — a replayed batch after a crash-before-offset-commit
+    is visible (duplicate batch id) rather than silent."""
+    stream = dedup_stream(stream_files(spark, source_dir, schema), ts_col=ts_col)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        # stateful queries run an extra no-data batch to advance the
+        # watermark; an empty append would be a noise snapshot
+        if batch_df.isEmpty():
+            return
+        catalog.append(batch_df, table, properties={"stream_batch_id": batch_id})
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_source_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -79,3 +79,41 @@ def test_windowed_counts_batch_semantics(spark):
     assert got[("2024-01-01 00:00:00", "click")] == 2
     assert got[("2024-01-01 01:00:00", "click")] == 1
     assert got[("2024-01-01 00:00:00", "view")] == 1
+
+
+def test_streamed_ingest_shares_catalog_snapshots(spark, tmp_path):
+    """foreachBatch → catalog.append: each AvailableNow drain commits
+    one snapshot, and read_incremental over the streamed table returns
+    exactly the second drain's rows — streamed and batch writes share
+    the same versioned-store semantics."""
+    from pyspark.sql import types as T
+
+    from scheduler_spark.catalog import Catalog
+    from scheduler_spark.streaming.ingest import run_dedup_ingest_to_catalog
+
+    schema = T.StructType(
+        FILES.fields + [T.StructField("ingest_ts", T.TimestampType(), False)]
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(root=str(tmp_path / "cat"), spark=spark)
+
+    synth_files(spark, n_files=20).withColumn(
+        "ingest_ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    ).write.mode("append").parquet(src)
+    run_dedup_ingest_to_catalog(spark, src, schema, catalog, "ingested", ckpt)
+    snaps1 = catalog.snapshots("ingested")
+    assert len(snaps1) == 1 and snaps1[0]["operation"] == "append"
+    n1 = catalog.read("ingested").count()
+    assert n1 == 20
+
+    # second drain: new files only → one more snapshot, delta-readable
+    synth_files(spark, n_files=40).filter(F.xxhash64("path") % 3 == 0).withColumn(
+        "ingest_ts", F.lit("2024-01-02 00:00:00").cast("timestamp")
+    ).write.mode("append").parquet(src)
+    run_dedup_ingest_to_catalog(spark, src, schema, catalog, "ingested", ckpt)
+    snaps2 = catalog.snapshots("ingested")
+    assert len(snaps2) == 2
+    inc = catalog.read_incremental("ingested", snaps1[-1]["snapshot_id"])
+    assert inc.count() == catalog.read("ingested").count() - n1
+    assert inc.filter(F.col("ingest_ts") == "2024-01-01 00:00:00").count() == 0
