@@ -2062,6 +2062,30 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_cluster_keepers")
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup canonicalization — the full dedup shape a
+    training-data pipeline runs: near-dup pair generation (SimHash
+    banding, hamming<=3 exact by pigeonhole) → connected components
+    (distributed star loop) → one keeper per cluster (lexicographic
+    min) + member count.  The DuckDB twin recomputes the pairs from
+    the committed golden simhash table and labels components with a
+    recursive-CTE closure, so pair generation, CC, and the rollup are
+    verified together."""
+    from .operators.components import connected_components
+    from .operators.dedup import simhash_pairs
+
+    docs = simhash_golden_docs(spark)
+    pairs = simhash_pairs(docs, max_hamming=3)
+    edges = pairs.select(
+        F.col("doc_a").alias("src_entity"), F.col("doc_b").alias("dst_entity")
+    )
+    labels = connected_components(edges, small_graph_threshold=0)
+    return labels.groupBy(F.col("canonical_id").alias("keeper_doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
 # ===========================================================================
 # §2.1 scan shape — projection+filter pushdown
 # ===========================================================================
@@ -2236,6 +2260,23 @@ _ORACLE_SQL["dedup_simhash_recall"] = f"""
       WHERE bit_count(xor(a.sim, b.sim)) <= 3)
     SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok FROM truth
 """
+
+_ORACLE_SQL["dedup_cluster_keepers"] = f"""
+    WITH RECURSIVE
+    s AS (SELECT doc_id, sim FROM read_parquet('{_GOLDEN_SIMHASH_GLOB}')),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+      SELECT DISTINCT u AS src, u AS dst FROM edges
+      UNION
+      SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u),
+    label AS (SELECT src AS doc_id, min(dst) AS keeper FROM reach GROUP BY src)
+    SELECT keeper AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM label GROUP BY keeper
+"""
 _ORACLE_SQL["kg_entity_degree_topk"] = f"""
     SELECT obj AS entity, CAST(count(*) AS BIGINT) AS degree
     FROM read_parquet('{_GOLDEN_TRIPLES_GLOB}')
@@ -2268,6 +2309,7 @@ _PRIORITY = [
     "ann_ivf_recall",
     "ann_embedding_lsh_recall",
     "dedup_simhash_recall",
+    "dedup_cluster_keepers",
     # KG pipeline goldens + graph ops
     "kg_pipeline_triples",
     "kg_3hop_chain",
