@@ -44,6 +44,10 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "bbox_intersect_join",
     "doc_quality_score",
+    # round-3 adds: the pinned large-large SMJ shape and the end-to-end
+    # dedup canonicalization (pairs → CC → keeper rollup)
+    "smj_large_join",
+    "dedup_cluster_keepers",
 ]
 
 KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))

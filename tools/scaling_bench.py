@@ -129,18 +129,41 @@ def main() -> None:
     # threads (hypervisor cap), so 8→32 can never express real 4x
     # hardware; 2→8 stays inside the machine's true capacity.  Override
     # with SPARK_GRAFT_SCALE_N to record other pairs.
+    #
+    # INTERLEAVED ROUNDS: the host's effective per-core speed drifts
+    # over hours (same binary measured local[8]=38s..58s across one
+    # day at <2% steal — noisy-neighbor memory bandwidth, not load we
+    # control).  A sequential 2-then-8 pair smears that drift into the
+    # ratio; instead each ROUND runs the two levels back-to-back and
+    # yields one efficiency sample from temporally-adjacent
+    # measurements, and the reported figure is the median of rounds.
     n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     levels = [n, 4 * n]
-    results = [run_level(c) for c in levels]
-    eff = (results[1]["triples_per_sec"] / results[0]["triples_per_sec"]) / (
-        levels[1] / levels[0]
+    round_results: list[tuple[dict, dict]] = []
+    effs: list[float] = []
+    for i in range(rounds):
+        lo = run_level(levels[0])
+        hi = run_level(levels[1])
+        e = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (levels[1] / levels[0])
+        round_results.append((lo, hi))
+        effs.append(round(e, 3))
+        print(f"round {i + 1}/{rounds}: efficiency {e:.3f}", flush=True)
+    effs_sorted = sorted(effs)
+    # lower median: conservative for even round counts
+    eff = effs_sorted[(len(effs_sorted) - 1) // 2]
+    best = max(
+        round_results, key=lambda pair: pair[1]["triples_per_sec"]
     )
+    results = list(round_results[effs.index(eff)])
     report = {
         "n_files": N_FILES,
         "levels": results,
-        "scaling_efficiency": round(eff, 3),
+        "round_efficiencies": effs,
+        "scaling_efficiency": eff,
         "target": 0.8,
         "passes": eff >= 0.8,
+        "best_round_levels": list(best),
     }
     print(json.dumps(report, indent=2))
     bench_md = REPO / "BENCH.md"
@@ -159,6 +182,14 @@ def main() -> None:
         "so 8→32 cannot express a real 4x hardware step; 2→8 stays inside",
         "the machine's true capacity. On a real cluster the same evidence",
         "is N vs 4N executors via spark-submit.",
+        "",
+        "**Interleaved rounds:** the host's effective per-core speed",
+        "drifts over hours (same binary: local[8] 38s..58s across one day",
+        "at <2% steal), so each efficiency sample comes from the two",
+        "levels run back-to-back, and the reported figure is the median",
+        f"of {len(effs)} rounds: {effs} → median {eff}.",
+        "",
+        "Median round:",
         "",
         "| cores | sec | files/sec | triples/sec | extract | lsh+cc | materialize |",
         "|---|---|---|---|---|---|---|",
