@@ -2018,6 +2018,58 @@ def ann_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_doc_frequency",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+      FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+    FROM toks GROUP BY token ORDER BY doc_freq DESC, token LIMIT 50
+    """,
+)
+def vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building — top-k tokens by document frequency, the
+    first pass of any tokenizer/stopword/IDF pipeline over a corpus.
+    Distinct-per-doc before the explode so df counts documents, not
+    occurrences; map-side partial aggregation shrinks the token
+    shuffle to one row per (token x partition)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(50)
+    )
+
+
+@query(
+    "stratified_sample_deterministic",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34'
+    """,
+)
+def stratified_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% corpus sample (train-subset carving) by md5
+    of the stable key — reproducible on any cluster layout and in any
+    engine, unlike rand()-based sampleBy.  Hex-prefix '34' keeps
+    0x00-0x33 of the first byte = 52/256 ≈ 20.3%; md5 hex compares
+    identically as string and integer.  Narrow map, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    return d.filter(bucket < "34").select("doc_id", "source")
+
+
 def simhash_golden_docs(spark: SparkSession) -> DataFrame:
     """The deterministic corpus behind the simhash recall gate and its
     committed golden (tools/make_golden.py) — sf-independent like the
@@ -2334,6 +2386,8 @@ _PRIORITY = [
     "log_severity_rollup",
     "scan_pushdown_projection",
     "smj_large_join",
+    "vocab_doc_frequency",
+    "stratified_sample_deterministic",
     # rows-only scale paths (weaker driver check, still recorded)
     "dedup_minhash_lsh",
     "dedup_simhash",
