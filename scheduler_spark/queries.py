@@ -2070,6 +2070,63 @@ def stratified_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
     return d.filter(bucket < "34").select("doc_id", "source")
 
 
+@query(
+    "contamination_check",
+    """
+    WITH split AS (
+      SELECT doc_id, source, text,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '34' AS is_eval
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source, is_eval,
+             list_distinct(list_transform(range(0, greatest(len(text)-19, 1)),
+                                          i -> substr(text, i+1, 20))) AS s
+      FROM split)
+    SELECT e.doc_id AS eval_doc_id,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_hits
+    FROM sh e JOIN sh t
+      ON e.source = t.source AND e.is_eval AND NOT t.is_eval
+     AND len(list_intersect(e.s, t.s)) > 0
+    GROUP BY e.doc_id ORDER BY n_train_hits DESC, eval_doc_id LIMIT 100
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection — eval docs sharing any
+    20-char gram with a train doc (per source), the overlap audit run
+    before training on a corpus that also sources benchmarks.  The
+    split reuses the deterministic md5 carve; blocking on source keeps
+    the check an equi-join + array_intersect, never a full cross
+    product.  At 100 TB the same shape runs as explode(gram) →
+    gram-equi-join (shuffle on gram) instead of the per-pair
+    intersect; this bounded variant is the oracle-checkable contract."""
+    d = _t(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length("text") - 20, F.lit(0))),
+            lambda i: F.substr(F.col("text"), i + 1, F.lit(20)),
+        )
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        (F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2) < "34").alias("is_eval"),
+        grams.alias("s"),
+    )
+    ev = base.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"), "source", F.col("s").alias("se")
+    )
+    tr = base.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc_id"), "source", F.col("s").alias("st")
+    )
+    hits = ev.join(tr, "source").filter(F.size(F.array_intersect("se", "st")) > 0)
+    return (
+        hits.groupBy("eval_doc_id")
+        .agg(F.countDistinct("train_doc_id").cast("long").alias("n_train_hits"))
+        .orderBy(F.desc("n_train_hits"), "eval_doc_id")
+        .limit(100)
+    )
+
+
 def simhash_golden_docs(spark: SparkSession) -> DataFrame:
     """The deterministic corpus behind the simhash recall gate and its
     committed golden (tools/make_golden.py) — sf-independent like the
@@ -2388,6 +2445,7 @@ _PRIORITY = [
     "smj_large_join",
     "vocab_doc_frequency",
     "stratified_sample_deterministic",
+    "contamination_check",
     # rows-only scale paths (weaker driver check, still recorded)
     "dedup_minhash_lsh",
     "dedup_simhash",
