@@ -30,6 +30,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bucket_cap_stats(banded: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Observability for every banded-LSH bucket cap: one row of
+    (n_buckets, n_capped_buckets, n_rows_shed, max_bucket_n) over the
+    same banded frame an operator caps.  The cap bounds per-bucket
+    self-join work (a degenerate bucket would go O(n²)); this makes the
+    loss it causes a measured number a pipeline can alert on — e.g. the
+    sf0.1 documents corpus sheds its hottest simhash buckets at the
+    default cap, which is exactly the recall drop documented in
+    tests/test_recall_gates.py."""
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, 1).otherwise(0))
+        .cast("long").alias("n_capped_buckets"),
+        F.sum(F.when(F.col("n") > max_bucket, F.col("n")).otherwise(0))
+        .cast("long").alias("n_rows_shed"),
+        F.max("n").cast("long").alias("max_bucket_n"),
+    )
+
+
+def simhash_banded(sh: DataFrame) -> DataFrame:
+    """(doc_id, sim) → one row per (band, chunk) — the 4x16-bit banding
+    shared by simhash_pairs and its cap-stats/oracle twins."""
+    return sh.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+
+
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (normalized) texts; keeper = min id."""
     fp = F.sha2(F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")), 256)
@@ -139,18 +176,7 @@ def simhash_pairs(
     (bands ≥ max_hamming+1) or the tail is silently incomplete.
     """
     sh = simhash_table(df, id_col=id_col, text_col=text_col)
-    banded = sh.select(
-        "doc_id",
-        "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sim"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band", "chunk"),
-    )
+    banded = simhash_banded(sh)
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "chunk")

@@ -26,8 +26,9 @@ Scale notes:
   mention rows (dedup factor ~ mentions/value ≫ 1).
 - band buckets are capped (`max_bucket`): a degenerate bucket (stop-word
   shingle profile) would otherwise produce O(n²) candidate pairs; the
-  cap bounds the self-join per bucket, and dropped buckets are counted
-  so the loss is observable, not silent.
+  cap bounds the self-join per bucket, and the loss it causes is
+  measurable with `operators.dedup.bucket_cap_stats` over the same
+  banded frame (oracle-gated for simhash via `simhash_bucket_stats`).
 """
 
 from __future__ import annotations

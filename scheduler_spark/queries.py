@@ -2171,6 +2171,20 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("simhash_bucket_stats")
+def simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-cap observability measured IN the gate: band-bucket size
+    rollup of the simhash banding over the golden corpus (n_buckets,
+    capped count at the default 256 bound, rows the cap would shed,
+    hottest bucket).  DuckDB recomputes the same banding from the
+    committed golden with arithmetic shifts — so the shed the cap
+    causes is a verified number, not a docstring claim."""
+    from .operators.dedup import bucket_cap_stats, simhash_banded, simhash_table
+
+    sims = simhash_table(simhash_golden_docs(spark))
+    return bucket_cap_stats(simhash_banded(sims), ["band", "chunk"], max_bucket=256)
+
+
 @query("dedup_cluster_keepers")
 def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup canonicalization — the full dedup shape a
@@ -2370,6 +2384,19 @@ _ORACLE_SQL["dedup_simhash_recall"] = f"""
     SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok FROM truth
 """
 
+_ORACLE_SQL["simhash_bucket_stats"] = f"""
+    WITH s AS (SELECT doc_id, sim FROM read_parquet('{_GOLDEN_SIMHASH_GLOB}')),
+    banded AS (
+      SELECT doc_id, (s.sim >> (16 * b.band)) & 65535 AS chunk, b.band
+      FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    sizes AS (SELECT band, chunk, count(*) AS n FROM banded GROUP BY band, chunk)
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(coalesce(sum(CASE WHEN n > 256 THEN 1 END), 0) AS BIGINT) AS n_capped_buckets,
+           CAST(coalesce(sum(CASE WHEN n > 256 THEN n END), 0) AS BIGINT) AS n_rows_shed,
+           CAST(max(n) AS BIGINT) AS max_bucket_n
+    FROM sizes
+"""
+
 _ORACLE_SQL["dedup_cluster_keepers"] = f"""
     WITH RECURSIVE
     s AS (SELECT doc_id, sim FROM read_parquet('{_GOLDEN_SIMHASH_GLOB}')),
@@ -2419,6 +2446,7 @@ _PRIORITY = [
     "ann_embedding_lsh_recall",
     "dedup_simhash_recall",
     "dedup_cluster_keepers",
+    "simhash_bucket_stats",
     # KG pipeline goldens + graph ops
     "kg_pipeline_triples",
     "kg_3hop_chain",

@@ -92,3 +92,26 @@ def test_simhash_recall_at_bench_scale(spark):
     truth.unpersist()
     assert n_true > 0
     assert recall == 1.0, (n_true, recall)
+
+
+def test_bucket_cap_shed_is_measurable_at_bench_scale(spark):
+    """The default simhash cap sheds hot buckets on the near-dup-
+    saturated sf0.1 corpus (the documented recall drop above);
+    bucket_cap_stats turns that shed into numbers a pipeline can alert
+    on, and lifting the cap past the hottest bucket sheds nothing."""
+    from scheduler_spark.operators.dedup import (
+        bucket_cap_stats,
+        simhash_banded,
+        simhash_table,
+    )
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select("doc_id", "text")
+    banded = simhash_banded(simhash_table(docs)).cache()
+    row = bucket_cap_stats(banded, ["band", "chunk"], max_bucket=256).first()
+    assert row.n_capped_buckets > 0 and row.n_rows_shed > 0
+    assert row.max_bucket_n > 256
+    row2 = bucket_cap_stats(
+        banded, ["band", "chunk"], max_bucket=int(row.max_bucket_n)
+    ).first()
+    banded.unpersist()
+    assert row2.n_rows_shed == 0 and row2.n_capped_buckets == 0
