@@ -2053,6 +2053,65 @@ def vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rn
+      FROM scored)
+    SELECT doc_id, token, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf — the relevance/keyword
+    scoring pass over a corpus (idf smoothed as ln((N+1)/(df+1))).
+    Ranking happens on the ROUNDED score in both engines so a last-ulp
+    ln() difference can't reorder near-ties; token breaks exact ties.
+    Two aggregations (tf, then df over tf) + a broadcast-size dim join
+    back — df and N are vocabulary-sized, so at 100 TB the only
+    corpus-scale shuffle is the (doc, token) tf rollup, which
+    map-side-combines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
+
+
+@query(
     "stratified_sample_deterministic",
     """
     SELECT doc_id, source FROM documents
@@ -2124,6 +2183,96 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("train_doc_id").cast("long").alias("n_train_hits"))
         .orderBy(F.desc("n_train_hits"), "eval_doc_id")
         .limit(100)
+    )
+
+
+# winnowing (rolling-hash fingerprinting) — shared constants with the
+# operator so the oracle replays the identical polynomial
+_WINNOW_K, _WINNOW_W, _WINNOW_CAP, _WINNOW_MIN_SHARED = 8, 8, 64, 8
+_WINNOW_POLY_SQL = " + ".join(
+    f"ascii(substr(s, i+{j+1}, 1))::BIGINT * {31 ** (_WINNOW_K - 1 - j)}"
+    for j in range(_WINNOW_K)
+)
+_WINNOW_SEL_SQL = f"""
+    norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+      FROM documents),
+    g AS (
+      SELECT doc_id, len(s) - {_WINNOW_K - 1} AS m,
+             list_transform(range(0, len(s) - {_WINNOW_K - 1}),
+                            i -> {_WINNOW_POLY_SQL}) AS h
+      FROM norm WHERE len(s) >= {_WINNOW_K}),
+    sel AS (
+      SELECT doc_id,
+             CASE WHEN m >= {_WINNOW_W}
+                  THEN list_distinct(list_transform(range(0, m - {_WINNOW_W} + 1),
+                         t -> list_aggregate(h[t+1:t+{_WINNOW_W}], 'min')))
+                  ELSE [list_aggregate(h, 'min')] END AS fps
+      FROM g),
+    fl AS (SELECT doc_id, unnest(fps) AS fingerprint FROM sel)
+"""
+
+
+@query(
+    "winnow_doc_fingerprints",
+    f"""
+    WITH {_WINNOW_SEL_SQL}
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(sum(fingerprint) AS BIGINT) AS fp_sum,
+           min(fingerprint) AS fp_min,
+           max(fingerprint) AS fp_max
+    FROM fl GROUP BY doc_id
+    """,
+)
+def winnow_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (MOSS; see
+    operators/dedup.winnow_fingerprints) rolled up per doc — count +
+    sum + min + max pins the whole selected multiset, so a drift in
+    the polynomial, the window minimum, or the boundary rule fails the
+    hash compare while the gate row count stays at one row per doc."""
+    from .operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fps"),
+        F.sum("fingerprint").cast("long").alias("fp_sum"),
+        F.min("fingerprint").alias("fp_min"),
+        F.max("fingerprint").alias("fp_max"),
+    )
+
+
+@query(
+    "winnow_copy_pairs",
+    f"""
+    WITH {_WINNOW_SEL_SQL},
+    posting AS (
+      SELECT fingerprint FROM fl GROUP BY fingerprint
+      HAVING count(*) <= {_WINNOW_CAP}),
+    kept AS (SELECT fl.doc_id, fl.fingerprint FROM fl
+             JOIN posting USING (fingerprint))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy detection via the winnow inverted index (equi-join on
+    fingerprint with a deterministic posting-list cap — the MOSS join
+    shape; operators/dedup.winnow_copy_pairs)."""
+    from .operators.dedup import winnow_copy_pairs as _pairs
+
+    return _pairs(
+        _t(spark, sf_dir, "documents"),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_posting=_WINNOW_CAP,
     )
 
 
@@ -2474,6 +2623,9 @@ _PRIORITY = [
     "vocab_doc_frequency",
     "stratified_sample_deterministic",
     "contamination_check",
+    "winnow_doc_fingerprints",
+    "winnow_copy_pairs",
+    "tfidf_top_terms",
     # rows-only scale paths (weaker driver check, still recorded)
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -2498,9 +2650,6 @@ _PRIORITY = [
     "release_rollup_per_source",
     "content_hash_invariant",
     "chunk_documents",
-    "null_safe_join_counts",
-    "correlated_scalar_subquery",
-    "approx_distinct_bounded",
     # everything past here was green in CORRECTNESS_r02.json
 ]
 

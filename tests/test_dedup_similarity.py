@@ -167,3 +167,68 @@ def test_brute_force_topk_is_exact(spark):
         (r.cid, r.rank) for r in got
     ] == [(1, 1), (3, 2)]
     assert got[0].cid == 1
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """The winnowing guarantee (Schleimer et al. §2): two docs sharing
+    a normalized substring of length >= w + k - 1 (= 15 chars here)
+    share at least one selected fingerprint; a doc with disjoint
+    alphabet shares none."""
+    from scheduler_spark.operators.dedup import winnow_copy_pairs, winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix alpha"),
+            (2, f"other beginning {shared} different tail"),
+            (3, "zq xv wk pj ml nh bg 0123 456789 zzz qqq vvv"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=8, w=8)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fingerprint").alias("fps")).collect()
+    }
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    pairs = winnow_copy_pairs(df, min_shared=1, max_posting=64).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+
+
+def test_winnow_short_doc_boundary(spark):
+    """Docs shorter than k emit nothing; between k and w+k-1 chars the
+    single global-minimum gram is selected (standard boundary rule)."""
+    from scheduler_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abcdefghij"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, k=8, w=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.fingerprint)
+    assert 1 not in by_doc and 3 not in by_doc
+    assert len(by_doc[2]) == 1  # 3 grams, m < w -> one global min
+
+
+def test_winnow_posting_cap_drops_boilerplate(spark):
+    """A fingerprint present in more docs than max_posting never joins:
+    with the boilerplate line in every doc and cap=2, only the pair
+    sharing UNIQUE content survives."""
+    from scheduler_spark.operators.dedup import winnow_copy_pairs
+
+    boiler = "copyright acme corp all rights reserved"
+    unique = "completely unique payload only in two documents"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} {unique}"),
+            (2, f"{boiler} {unique}"),
+            (3, f"{boiler} nothing else in common here zq"),
+            (4, f"{boiler} and some other filler entirely xv"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_copy_pairs(df, min_shared=1, max_posting=2).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
