@@ -86,7 +86,7 @@ def main() -> None:
     files.count()  # corpus generation is the data source, not the job
 
     # Best-of-3 with cache hygiene between trials: the KG phase runs
-    # after 16 queries' worth of JVM/page-cache churn, and a single
+    # after the whole headline suite's JVM/page-cache churn, and a single
     # trial under VM contention has shown a 3.4x noise band round-over-
     # round; the min of 3 clean trials is the comparable number.
     def kg_trial() -> tuple[float, int]:

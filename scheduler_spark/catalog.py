@@ -170,18 +170,20 @@ class Catalog:
         stale-partition prune, /root/reference/userCode/lib/dagster.py:19-30).
         Missing partitions are ignored (idempotent)."""
         import shutil
-        from urllib.parse import quote
 
         root = self.table_path(name)
+        wanted = {str(k) for k in keys}
         dropped = []
-        for key in keys:
-            # Spark writes partition dirs with URL-encoded values
-            for enc in {str(key), quote(str(key), safe="")}:
-                p = os.path.join(root, f"{partition_col}={enc}")
-                if os.path.isdir(p):
-                    shutil.rmtree(p)
-                    dropped.append(str(key))
-                    break
+        # match by DECODING the on-disk directory names (Spark escapes
+        # only a character subset — Hive escapePathName — so forward-
+        # encoding the key can miss the directory)
+        for d in os.listdir(root) if os.path.isdir(root) else []:
+            if not d.startswith(f"{partition_col}="):
+                continue
+            val = self._decode_partition_dir(d)
+            if val is not None and val in wanted:
+                shutil.rmtree(os.path.join(root, d))
+                dropped.append(val)
         props = dict(properties or {})
         props["dropped_partitions"] = sorted(set(dropped))
         return self._commit(name, "delete_partitions", props)
@@ -212,48 +214,71 @@ class Catalog:
         /root/reference/userCode/lib/containers.py:52, docs/hdt.md:12-16).
 
         Source must be unique on `key_cols` (raises otherwise —
-        Iceberg's MERGE cardinality check).  Snapshot properties record
+        Iceberg's MERGE cardinality check).  The target must be laid
+        out as `partition_col=` directories (written by
+        overwrite_partitions / a previous merge) — merging into a flat
+        append() layout raises, because dynamic overwrite could never
+        retire the flat files.  Snapshot properties record
         n_updated / n_inserted / rewritten partitions.
+
+        Partition values are compared through Spark's own string
+        rendering (CAST(col AS STRING)), and on-disk directories are
+        matched by DECODING their names rather than re-encoding the
+        value — Spark escapes only some characters (Hive
+        escapePathName), so forward-encoding guesses miss partitions
+        like booleans (`part=true` vs Python `True`) or partially
+        escaped strings.
         """
-        dup = (
-            df.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
+        # the source is read 3-4 times (cardinality check, match count,
+        # partition collect, final union) — materialize it once
+        df = df.localCheckpoint()
+        stats = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(c) for c in key_cols]).alias("nk"),
+        ).collect()[0]
+        if stats["n"] != stats["nk"]:
             raise ValueError(
                 f"merge source not unique on {key_cols} (MERGE cardinality check)"
             )
+        part_str = F.col(partition_col).cast("string")
         props = dict(properties or {})
         if not self.exists(name):
             props.update(
                 {
                     "operation_detail": "merge_upsert",
                     "n_updated": 0,
-                    "n_inserted": df.count(),
+                    "n_inserted": stats["n"],
                     "rewritten_partitions": sorted(
-                        str(r[0]) for r in df.select(partition_col).distinct().collect()
+                        r[0] for r in df.select(part_str).distinct().collect()
                     ),
                 }
             )
             return self.overwrite_partitions(df, name, [partition_col], props)
+        root = self.table_path(name)
+        flat = [f for f in os.listdir(root) if f.endswith(".parquet")]
+        if flat:
+            raise ValueError(
+                f"merge_upsert target {name!r} has non-partitioned data files "
+                f"(e.g. {flat[0]}); rewrite it partitioned by {partition_col!r} first"
+            )
 
         current = self.read(name)
         keys = df.select(*key_cols)
         matched = current.join(keys, key_cols, "left_semi")
         affected = (
-            df.select(partition_col)
-            .unionByName(matched.select(partition_col))
+            df.select(part_str.alias("p"))
+            .unionByName(matched.select(part_str.alias("p")))
             .distinct()
             .collect()
         )
-        part_keys = sorted(str(r[0]) for r in affected)
-        n_matched = matched.count()
-        n_inserted = df.count() - n_matched
+        part_keys = sorted(r[0] for r in affected)
+        # matched counts distinct keys, not target rows: a key
+        # duplicated in the TARGET (two prior appends) still updates
+        # once, and n_inserted must never go negative
+        n_matched = matched.select(*key_cols).distinct().count()
+        n_inserted = stats["n"] - n_matched
 
-        cur_sub = current.filter(F.col(partition_col).isin([r[0] for r in affected]))
+        cur_sub = current.filter(part_str.isin(part_keys))
         kept = cur_sub.join(keys, key_cols, "left_anti")
         # the merged plan reads the very files the overwrite replaces
         merged = kept.unionByName(df.select(*current.columns)).localCheckpoint()
@@ -262,20 +287,17 @@ class Catalog:
         # PRESENT in the write, so the emptied ones are dropped explicitly
         # (after the localCheckpoint has materialized their surviving rows)
         present = {
-            str(r[0]) for r in merged.select(partition_col).distinct().collect()
+            r[0] for r in merged.select(part_str.alias("p")).distinct().collect()
         }
-        emptied = [p for p in part_keys if p not in present]
+        emptied = {p for p in part_keys if p not in present}
         if emptied:
             import shutil
-            from urllib.parse import quote
 
-            root = self.table_path(name)
-            for key in emptied:
-                for enc in {key, quote(key, safe="")}:
-                    p = os.path.join(root, f"{partition_col}={enc}")
-                    if os.path.isdir(p):
-                        shutil.rmtree(p)
-                        break
+            for d in os.listdir(root):
+                if not d.startswith(f"{partition_col}="):
+                    continue
+                if self._decode_partition_dir(d) in emptied:
+                    shutil.rmtree(os.path.join(root, d))
         props.update(
             {
                 "operation_detail": "merge_upsert",
@@ -285,6 +307,18 @@ class Catalog:
             }
         )
         return self.overwrite_partitions(merged, name, [partition_col], props)
+
+    @staticmethod
+    def _decode_partition_dir(dirname: str) -> str | None:
+        """`part=a%20b` → `a b`: decode a partition directory name back
+        to its value string (Hive escapePathName is %-escaping of a
+        character subset, so unquote inverts it for any subset)."""
+        from urllib.parse import unquote
+
+        enc = dirname.split("=", 1)[1]
+        if enc == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        return unquote(enc)
 
     def compact_partitions(
         self,

@@ -51,6 +51,10 @@ def asof_join(
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+    internal = {"_l", "_r", "_ts", "_side", "_matched"}
+    reserved = internal & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"column names reserved by asof_join: {sorted(reserved)}")
 
     # The right payload travels as ONE struct, and last(ignorenulls) is
     # taken over the struct, not per column: per-column last would

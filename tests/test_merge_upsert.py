@@ -97,3 +97,37 @@ def test_merge_into_missing_table_is_insert_only(spark, tmp_path):
     assert cat.read("t").count() == 2
     props = cat.snapshots("t")[-1]["properties"]
     assert props["n_updated"] == 0 and props["n_inserted"] == 2
+
+
+def test_merge_empties_partition_with_escaped_value(spark, tmp_path):
+    """Partition values Spark escapes on disk (':' → '%3A') are still
+    found and dropped when the merge empties them — directory matching
+    decodes names instead of re-encoding the value."""
+    cat = Catalog(root=str(tmp_path), spark=spark)
+    cat.overwrite_partitions(
+        _df(spark, [("k1", "src:a", "x"), ("k2", "plain", "y")]), "t", ["part"]
+    )
+    cat.merge_upsert(_df(spark, [("k1", "plain", "moved")]), "t", ["k"], "part")
+    rows = {(r.k, r.part) for r in cat.read("t").collect()}
+    assert rows == {("k1", "plain"), ("k2", "plain")}
+
+
+def test_merge_counts_distinct_keys_not_target_rows(spark, tmp_path):
+    """A key duplicated in the TARGET still counts as one update and
+    never produces a negative n_inserted."""
+    cat = Catalog(root=str(tmp_path), spark=spark)
+    cat.overwrite_partitions(_df(spark, [("k1", "A", "v1")]), "t", ["part"])
+    # sneak in a duplicate of k1 via a second partition-dir write
+    cat.overwrite_partitions(_df(spark, [("k1", "B", "v2")]), "t", ["part"])
+    cat.merge_upsert(_df(spark, [("k1", "A", "v3")]), "t", ["k"], "part")
+    props = cat.snapshots("t")[-1]["properties"]
+    assert props["n_updated"] == 1 and props["n_inserted"] == 0
+    rows = {(r.k, r.part, r.payload) for r in cat.read("t").collect()}
+    assert rows == {("k1", "A", "v3")}  # MERGE collapses the target dup
+
+
+def test_merge_rejects_flat_unpartitioned_target(spark, tmp_path):
+    cat = Catalog(root=str(tmp_path), spark=spark)
+    cat.append(_df(spark, [("k1", "A", "x")]), "t")  # flat layout
+    with pytest.raises(ValueError, match="non-partitioned"):
+        cat.merge_upsert(_df(spark, [("k1", "A", "y")]), "t", ["k"], "part")

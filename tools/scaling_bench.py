@@ -214,7 +214,17 @@ def main() -> None:
         "dropDuplicates shuffle.",
         "",
     ]
-    bench_md.write_text("\n".join(lines))
+    # preserve hand-written sections (e.g. "## Round-N headline suite"):
+    # only the auto-generated preamble above the first "## " heading is
+    # replaced — a tool run must never delete committed narrative it
+    # cannot reproduce
+    manual_tail = ""
+    if bench_md.exists():
+        old = bench_md.read_text()
+        idx = old.find("\n## ")
+        if idx != -1:
+            manual_tail = old[idx:]
+    bench_md.write_text("\n".join(lines) + manual_tail)
     print(f"wrote {bench_md}")
 
 
