@@ -44,10 +44,13 @@ HEADLINE = [
     "ann_lsh_bucketed",
     "bbox_intersect_join",
     "doc_quality_score",
-    # round-3 adds: the pinned large-large SMJ shape and the end-to-end
-    # dedup canonicalization (pairs → CC → keeper rollup)
+    # round-3 adds: the pinned large-large SMJ shape, the end-to-end
+    # dedup canonicalization (pairs → CC → keeper rollup), winnowing
+    # copy detection, and tf-idf scoring
     "smj_large_join",
     "dedup_cluster_keepers",
+    "winnow_copy_pairs",
+    "tfidf_top_terms",
 ]
 
 KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))
