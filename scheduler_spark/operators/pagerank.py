@@ -1,0 +1,100 @@
+"""PageRank over the entity graph — importance ranking for KG consumers.
+
+The reference ranks harvested entities only by degree (the release
+rollups count features per source); a KG consumer ordering entities for
+display/linking wants a link-structure score, so the engine adds damped
+PageRank as a first-class iterative operator next to
+``connected_components`` (same loop discipline:
+operators/components.py:19-28).
+
+Semantics (classic Page et al. 1999, uniform teleport):
+
+    rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)/outdeg(u)  +  D/N )
+
+where ``D`` is the total rank mass sitting on dangling nodes (no
+out-edges) this iteration — redistributed uniformly so Σ rank stays 1
+(without it the score drifts toward the teleport floor and rank mass
+leaks every round).
+
+Scale notes:
+- ranks/contribs are node- and edge-shaped DataFrames; every step is an
+  equi-join + partial-aggregated groupBy — AQE-partitionable, no
+  driver-side state except the two scalar aggregates (N, dangling mass).
+- ``localCheckpoint`` once per iteration truncates lineage, exactly as
+  the CC loop does — without it the plan doubles per round.
+- out-degrees are computed once before the loop and reused; at web
+  scale this is the classic "join rank vector with static link matrix"
+  shape, so a production deployment would bucket both sides on the
+  node id to make every per-iteration join shuffle-free.
+- dangling mass is ONE scalar aggregate per iteration (anti-join of the
+  rank vector against out-degree keys), not a per-node broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_DAMPING = 0.85
+DEFAULT_ITERATIONS = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src_entity",
+    dst: str = "dst_entity",
+    iterations: int = DEFAULT_ITERATIONS,
+    damping: float = DEFAULT_DAMPING,
+) -> DataFrame:
+    """Directed edge list → DataFrame(entity_id, rank).
+
+    Every node appearing as src or dst gets a row; Σ rank = 1 (dangling
+    mass redistributed uniformly).  Deterministic for a fixed edge set
+    up to float summation order — callers that hash-compare results
+    should round (the oracle gate rounds to 6 dp).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return e.sparkSession.createDataFrame([], "entity_id string, rank double")
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+
+    ranks = nodes.select("n", (F.lit(1.0) / n_nodes).alias("rank"))
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        with_deg = ranks.join(deg, ranks["n"] == deg["u"], "left")
+        # dangling = rank mass on nodes with no out-edges (one scalar agg)
+        dangling = (
+            with_deg.filter(F.col("u").isNull()).agg(F.sum("rank")).first()[0] or 0.0
+        )
+        contribs = (
+            e.join(ranks, e["u"] == ranks["n"])
+            .join(deg, "u")
+            .select(F.col("v").alias("n"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("n")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, "n", "left")
+            .select(
+                "n",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("n").alias("entity_id"), "rank")

@@ -2111,6 +2111,313 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Training-data quality suite — Gopher-style rules, repetition collapse,
+# PII redaction.  All three are SHUFFLE-FREE pure maps (array lambdas in
+# whole-stage codegen): at 100 TB the quality pass costs one scan, no
+# exchange.  Rules follow Rae et al. 2021 (Gopher) §A1.1 / Raffel et al.
+# 2020 (C4) §2.2 — public heuristics, thresholds tuned to this corpus.
+# ===========================================================================
+
+@query(
+    "quality_gopher_rules",
+    """
+    WITH t AS (SELECT doc_id, source,
+                      regexp_extract_all(lower(text), '[a-z]+') AS toks
+               FROM documents),
+    m AS (SELECT doc_id, source,
+            len(toks) AS n_tok,
+            len(list_distinct(toks)) AS n_distinct,
+            coalesce(list_max(list_transform(list_distinct(toks),
+                       t -> len(list_filter(toks, x -> x = t)))), 0) AS top_c,
+            coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS char_sum,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(1, len(toks)),
+                                     i -> toks[i] || '_' || toks[i+1])
+                 ELSE [] END AS grams
+          FROM t),
+    r AS (SELECT doc_id, source,
+            CAST(n_tok AS BIGINT) AS n_tok,
+            round(n_distinct * 1.0 / greatest(n_tok, 1), 6) AS distinct_ratio,
+            round(top_c * 1.0 / greatest(n_tok, 1), 6) AS top_tok_frac,
+            round(char_sum * 1.0 / greatest(n_tok, 1), 6) AS mean_word_len,
+            round((len(grams) - len(list_distinct(grams))) * 1.0
+                      / greatest(len(grams), 1), 6) AS dup_2gram_frac
+          FROM m)
+    SELECT r.*, (n_tok >= 50 AND top_tok_frac <= 0.2 AND distinct_ratio >= 0.03
+                 AND mean_word_len BETWEEN 2.0 AND 10.0) AS keep
+    FROM r
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics + keep flag (Gopher/C4 heuristics):
+    type-token ratio, most-common-token fraction, mean word length,
+    duplicate-2-gram fraction.  Every metric is an array-lambda column
+    expression — the whole pass is a single scan with NO shuffle (vs
+    the naive explode+groupBy which shuffles one row per token)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    m = d.select(
+        "doc_id",
+        "source",
+        toks.alias("toks"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    tk = F.col("toks")
+    top_c = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(tk),
+                lambda t: F.size(F.filter(tk, lambda x: x == t)),
+            )
+        ),
+        F.lit(0),
+    )
+    char_sum = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+    grams = F.when(
+        F.col("n_tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tok") - 1),
+            lambda i: F.concat(F.get(tk, i - 1), F.lit("_"), F.get(tk, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    m = m.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(F.col("n_distinct") / F.greatest(F.col("n_tok"), F.lit(1)), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(top_c / F.greatest(F.col("n_tok"), F.lit(1)), 6).alias("top_tok_frac"),
+        F.round(char_sum / F.greatest(F.col("n_tok"), F.lit(1)), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(
+            (F.size(grams) - F.size(F.array_distinct(grams)))
+            / F.greatest(F.size(grams), F.lit(1)),
+            6,
+        ).alias("dup_2gram_frac"),
+    )
+    return m.withColumn(
+        "keep",
+        (F.col("n_tok") >= 50)
+        & (F.col("top_tok_frac") <= 0.2)
+        & (F.col("distinct_ratio") >= 0.03)
+        & F.col("mean_word_len").between(2.0, 10.0),
+    )
+
+
+@query(
+    "repetition_collapse",
+    """
+    WITH t AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '[a-z]+') AS toks
+               FROM documents)
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+           CAST(len(list_filter(range(1, len(toks)+1),
+                                i -> i = 1 OR toks[i] != toks[i-1])) AS BIGINT)
+             AS n_after,
+           round((len(toks) - len(list_filter(range(1, len(toks)+1),
+                                              i -> i = 1 OR toks[i] != toks[i-1]))) * 1.0
+                     / greatest(len(toks), 1), 6) AS collapsed_frac
+    FROM t
+    """,
+)
+def repetition_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length repetition removal (collapse consecutive duplicate
+    tokens — the 'elongation' cleaning step): per-doc token count
+    before/after and collapsed fraction.  Array-lambda keep-mask over a
+    1..n index sequence; pure map, no shuffle, OOB F.get yields NULL so
+    i=1 survives via the OR short-circuit on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    t = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    tk = F.col("toks")
+    kept = F.when(
+        F.col("n") >= 1,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda i: (i == 1) | (F.get(tk, i - 1) != F.get(tk, i - 2)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return t.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tok"),
+        kept.cast("long").alias("n_after"),
+        F.round(
+            (F.col("n") - kept) / F.greatest(F.col("n"), F.lit(1)), 6
+        ).alias("collapsed_frac"),
+    )
+
+
+@query(
+    "pii_redaction",
+    r"""
+    WITH t AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at ' || lower(replace(c_name, '#', '')) ||
+             '@example.com or +1-555-' ||
+             lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+      FROM customer)
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(contact, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(contact, '\+1-555-[0-9]{4}'))
+                AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(contact,
+                            '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                          '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+    FROM t
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministic synthetic contact strings (built
+    from the customer dim — no external data): count emails/phones
+    found, emit the redacted text.  Pure regexp map, no shuffle; the
+    DuckDB twin needs the 'g' flag to match Spark's replace-all."""
+    c = _t(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lit("reach "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.pmod("c_custkey", F.lit(10000)).cast("string"), 4, "0"),
+    )
+    email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone_re = r"\+1-555-[0-9]{4}"
+    t = c.select("c_custkey", contact.alias("contact"))
+    return t.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all("contact", F.lit(email_re), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("contact", F.lit(phone_re), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("contact", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+# ===========================================================================
+# KG entity linking — blocked edit-distance fuzzy match (typo-injected
+# mentions vs clean vocabulary) and PageRank entity importance
+# ===========================================================================
+
+@query(
+    "entity_fuzzy_match",
+    """
+    WITH vocab AS (SELECT DISTINCT
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS entity
+                   FROM documents),
+    mentions AS (SELECT DISTINCT substr(entity, 2) AS mention
+                 FROM vocab WHERE len(entity) > 3)
+    SELECT m.mention, v.entity,
+           CAST(levenshtein(m.mention, v.entity) AS BIGINT) AS dist
+    FROM mentions m JOIN vocab v
+      ON substr(m.mention, len(m.mention), 1) = substr(v.entity, len(v.entity), 1)
+     AND abs(len(m.mention) - len(v.entity)) <= 1
+    WHERE levenshtein(m.mention, v.entity) <= 1
+    """,
+)
+def entity_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity linking: deterministically typo-injected mentions
+    (first char dropped) matched to the clean vocabulary at edit
+    distance ≤ 1, blocked on (last char, ±1 length band).  The block
+    key is an EQUI-join (suffix blocking survives prefix typos) — at
+    100 TB this shuffles on the tiny block key, never crossJoins;
+    levenshtein only runs inside blocks.  Mirrors the reference's
+    name-normalized linking (userCode/lib/containers.py:152-157) with
+    an approximate-string stage on top."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = d.select(
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0))
+        ).alias("entity")
+    ).distinct()
+    mentions = (
+        vocab.filter(F.length("entity") > 3)
+        .select(F.expr("substr(entity, 2)").alias("mention"))
+        .distinct()
+    )
+    lastchar = lambda c: F.substr(c, F.length(c), F.lit(1))  # noqa: E731
+    joined = mentions.join(
+        vocab,
+        (lastchar(F.col("mention")) == lastchar(F.col("entity")))
+        & (
+            F.abs(F.length("mention") - F.length("entity")) <= 1
+        ),
+    )
+    return joined.filter(F.levenshtein("mention", "entity") <= 1).select(
+        "mention",
+        "entity",
+        F.levenshtein("mention", "entity").cast("long").alias("dist"),
+    )
+
+
+@query(
+    "pagerank_entity_rank",
+    """
+    WITH raw AS (
+      SELECT concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
+                    CAST((o_orderkey * 7919) % 50 AS VARCHAR)) AS u,
+             concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
+                    CAST((o_orderkey * 104729) % 50 AS VARCHAR)) AS v
+      FROM orders WHERE o_orderkey < 1500),
+    edges AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+    nodes AS (SELECT u AS n FROM edges UNION SELECT v AS n FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+    deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
+    r0 AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes),
+    d0 AS (SELECT coalesce(sum(pr), 0.0) AS mass
+           FROM r0 LEFT JOIN deg ON r0.n = deg.u WHERE deg.u IS NULL),
+    c0 AS (SELECT e.v AS n, sum(r.pr / d.outdeg) AS contrib
+           FROM edges e JOIN r0 r ON e.u = r.n JOIN deg d ON e.u = d.u
+           GROUP BY e.v),
+    r1 AS (SELECT nodes.n, 0.15 / (SELECT cnt FROM nn)
+                  + 0.85 * (coalesce(c0.contrib, 0.0)
+                            + (SELECT mass FROM d0) / (SELECT cnt FROM nn)) AS pr
+           FROM nodes LEFT JOIN c0 ON nodes.n = c0.n),
+    d1 AS (SELECT coalesce(sum(pr), 0.0) AS mass
+           FROM r1 LEFT JOIN deg ON r1.n = deg.u WHERE deg.u IS NULL),
+    c1 AS (SELECT e.v AS n, sum(r.pr / d.outdeg) AS contrib
+           FROM edges e JOIN r1 r ON e.u = r.n JOIN deg d ON e.u = d.u
+           GROUP BY e.v),
+    r2 AS (SELECT nodes.n, 0.15 / (SELECT cnt FROM nn)
+                  + 0.85 * (coalesce(c1.contrib, 0.0)
+                            + (SELECT mass FROM d1) / (SELECT cnt FROM nn)) AS pr
+           FROM nodes LEFT JOIN c1 ON nodes.n = c1.n)
+    SELECT n AS entity_id, round(pr, 6) AS pr_score FROM r2
+    """,
+)
+def pagerank_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (d=0.85, dangling mass redistributed) over the
+    same deterministic o_orderkey-derived graph the CC oracle uses —
+    two fixed iterations so the SQL twin is a closed-form CTE chain.
+    Verifies operators/pagerank.py end-to-end: teleport floor, per-edge
+    contribution, dangling handling.  6-dp rounding both sides absorbs
+    summation-order ulp noise."""
+    from .operators.pagerank import pagerank
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    u = F.concat(
+        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
+        F.lit("_"), F.pmod(F.col("o_orderkey") * 7919, F.lit(50)).cast("string"),
+    )
+    v = F.concat(
+        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
+        F.lit("_"), F.pmod(F.col("o_orderkey") * 104729, F.lit(50)).cast("string"),
+    )
+    edges = o.select(u.alias("src_entity"), v.alias("dst_entity"))
+    pr = pagerank(edges, iterations=2, damping=0.85)
+    return pr.select("entity_id", F.round("rank", 6).alias("pr_score"))
+
+
 @query(
     "stratified_sample_deterministic",
     """
@@ -2626,6 +2933,12 @@ _PRIORITY = [
     "winnow_doc_fingerprints",
     "winnow_copy_pairs",
     "tfidf_top_terms",
+    # round-3 additions: quality suite + KG linking/ranking
+    "quality_gopher_rules",
+    "repetition_collapse",
+    "pii_redaction",
+    "entity_fuzzy_match",
+    "pagerank_entity_rank",
     # rows-only scale paths (weaker driver check, still recorded)
     "dedup_minhash_lsh",
     "dedup_simhash",
