@@ -2419,6 +2419,58 @@ def pagerank_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_triangle_count",
+    """
+    WITH raw AS (
+      SELECT concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
+                    CAST((o_orderkey * 7919) % 50 AS VARCHAR)) AS u,
+             concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
+                    CAST((o_orderkey * 104729) % 50 AS VARCHAR)) AS v
+      FROM orders WHERE o_orderkey < 1500),
+    pairs AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+              FROM raw WHERE u <> v)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.a = e1.b
+    JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def kg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the undirected entity graph — the KG
+    clustering-coefficient primitive.  Ordered-wedge enumeration
+    (a<b<c canonical edges, two equi-joins) — the standard distributed
+    algorithm: each triangle is counted exactly once, joins shuffle on
+    node ids, never a cross product.  Production refinement at web
+    scale orders by degree instead of id so high-degree hubs sit on
+    the closing (cheap) side of the wedge join."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    u = F.concat(
+        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
+        F.lit("_"), F.pmod(F.col("o_orderkey") * 7919, F.lit(50)).cast("string"),
+    )
+    v = F.concat(
+        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
+        F.lit("_"), F.pmod(F.col("o_orderkey") * 104729, F.lit(50)).cast("string"),
+    )
+    pairs = (
+        o.select(u.alias("_u"), v.alias("_v"))
+        .filter(F.col("_u") != F.col("_v"))
+        .select(
+            F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
+        )
+        .distinct()
+    )
+    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+@query(
     "stratified_sample_deterministic",
     """
     SELECT doc_id, source FROM documents
@@ -2939,6 +2991,7 @@ _PRIORITY = [
     "pii_redaction",
     "entity_fuzzy_match",
     "pagerank_entity_rank",
+    "kg_triangle_count",
     # rows-only scale paths (weaker driver check, still recorded)
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -150,3 +150,28 @@ def test_semi_and_anti_join_operators(spark, sf_dir):
     anti = q.all_queries()["anti_join_customers_without_orders"](spark, sf_dir)
     assert "LeftSemi" in _optimized(semi)
     assert "LeftAnti" in _optimized(anti)
+
+
+def test_quality_pass_is_shuffle_free(spark, sf_dir):
+    """The Gopher quality metrics are array-lambda column expressions —
+    the whole pass must be a single scan with NO Exchange (the naive
+    explode+groupBy alternative shuffles one row per token, i.e. the
+    full corpus text at 100 TB)."""
+    for name in ("quality_gopher_rules", "repetition_collapse", "pii_redaction"):
+        plan = _plan(q.all_queries()[name](spark, sf_dir))
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_fuzzy_match_blocks_with_equi_join(spark, sf_dir):
+    """Suffix-blocked edit-distance linking must plan as an equi-join
+    on the block key (hash or broadcast), never a cross product —
+    levenshtein runs only inside blocks."""
+    plan = _plan(q.all_queries()["entity_fuzzy_match"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_triangle_count_uses_equi_joins(spark, sf_dir):
+    plan = _plan(q.all_queries()["kg_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
