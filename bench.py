@@ -51,6 +51,10 @@ HEADLINE = [
     "dedup_cluster_keepers",
     "winnow_copy_pairs",
     "tfidf_top_terms",
+    # round-3 adds (late): the shuffle-free quality pass and the
+    # iterative PageRank operator
+    "quality_gopher_rules",
+    "pagerank_entity_rank",
 ]
 
 KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))
