@@ -213,6 +213,56 @@ def hashed_shingles(text_col, n: int = 3):
     )
 
 
+def _minhash_base(
+    df: DataFrame, id_col: str, text_col: str, block_col: str | None, n: int
+) -> DataFrame:
+    """(doc_id, block, s): hashed shingle sets keyed for banding."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("block"),
+        hashed_shingles(F.col(text_col), n).alias("s"),
+    ).filter(F.size("s") > 0)
+
+
+def _minhash_banded(
+    base: DataFrame, num_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    """(doc_id, block, band, bucket) with the per-bucket cap applied.
+
+    All hash seeds are literals, so two frames banded with the same
+    (n, num_hashes, bands) parameters are bucket-compatible — the
+    property the incremental index relies on."""
+    rows_per_band = num_hashes // bands
+
+    def hasher(seed: int):
+        return lambda x: F.xxhash64(x, F.lit(seed))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("s"), hasher(i))) for i in range(num_hashes)]
+    )
+    banded = base.withColumn("sig", sig).select(
+        "doc_id",
+        "block",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    w = Window.partitionBy("block", "band", "bucket")
+    return (
+        banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -252,46 +302,14 @@ def minhash_lsh_pairs(
     cost is per *distinct candidate*, reached via an equi-join that AQE
     can partition and skew-split.
     """
-    rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("block"),
-        hashed_shingles(F.col(text_col), n).alias("s"),
-    ).filter(F.size("s") > 0)
-
-    def hasher(seed: int):
-        return lambda x: F.xxhash64(x, F.lit(seed))
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("s"), hasher(i))) for i in range(num_hashes)]
-    )
     # IDS-ONLY through the band join: the shingle arrays are ~KBs per
     # row, and the bucket self-join is bands×-redundant before the pair
     # dedup — carrying the arrays through it multiplies the shuffle by
     # ~arraysize×bands (measured 136 s → ~20 s at sf0.1 for this change
     # alone).  Arrays are re-attached per side AFTER dedup, when each
     # surviving pair is verified exactly once.
-    banded = base.withColumn("sig", sig).select(
-        "doc_id",
-        "block",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    w = Window.partitionBy("block", "band", "bucket")
-    banded = (
-        banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("bucket_n") <= max_bucket)
-        .drop("bucket_n")
-    )
+    base = _minhash_base(df, id_col, text_col, block_col, n)
+    banded = _minhash_banded(base, num_hashes, bands, max_bucket)
     a = banded.select("block", "band", "bucket", F.col("doc_id").alias("doc_a"))
     b = banded.select("block", "band", "bucket", F.col("doc_id").alias("doc_b"))
     pairs = (
@@ -324,6 +342,106 @@ def minhash_lsh_pairs(
         .filter(inter * F.lit(1.0 + threshold) >= F.lit(threshold) * (F.col("na") + F.col("nb")))
         .select(
             "doc_a", "doc_b",
+            F.round(inter / (F.col("na") + F.col("nb") - inter), 6).alias("jac"),
+        )
+    )
+
+
+# -- incremental near-dup: persisted index, match the new batch only --------
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 16,
+    max_bucket: int = 512,
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable near-dup index of a corpus: (buckets, sets).
+
+    buckets(doc_id, block, band, bucket) — ids-only banded index, the
+    per-bucket cap applied at build time; sets(doc_id, s, n) — hashed
+    shingle sets for exact verification.  Write both through the
+    catalog; an incoming crawl batch is then deduped against the corpus
+    WITHOUT rescanning corpus text (the 100 TB property: per-batch cost
+    scales with the batch, the corpus contributes only equi-join lookups
+    into these two tables).  The seeds are literals, so an index built
+    yesterday is bucket-compatible with a batch banded today under the
+    same (n, num_hashes, bands).
+    """
+    base = _minhash_base(df, id_col, text_col, block_col, n)
+    buckets = _minhash_banded(base, num_hashes, bands, max_bucket)
+    sets = base.select("doc_id", "s", F.size("s").alias("n"))
+    return buckets, sets
+
+
+def match_against_index(
+    new_df: DataFrame,
+    index_buckets: DataFrame,
+    index_sets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 512,
+) -> DataFrame:
+    """New-batch docs vs the persisted corpus index → verified near-dup
+    matches (new_doc, corpus_doc, jac ≥ threshold).
+
+    Band the batch with the SAME literal seeds, equi-join bucket keys
+    against the index, dedup candidates, then verify exact Jaccard
+    using the batch's freshly-computed shingle sets and the index's
+    persisted ones — precision is exact, only LSH recall is
+    approximate (same contract as minhash_lsh_pairs, whose recall gate
+    measures the identical banding scheme).  Self-matches (same id on
+    both sides, e.g. re-crawled unchanged docs) are kept — flagging a
+    re-crawl as a duplicate of its own prior version is the desired
+    incremental-ingest outcome.
+    """
+    base_new = _minhash_base(new_df, id_col, text_col, block_col, n)
+    banded_new = _minhash_banded(base_new, num_hashes, bands, max_bucket)
+    cand = (
+        banded_new.select(
+            "block", "band", "bucket", F.col("doc_id").alias("new_doc")
+        )
+        .join(
+            index_buckets.select(
+                "block", "band", "bucket", F.col("doc_id").alias("corpus_doc")
+            ),
+            ["block", "band", "bucket"],
+        )
+        .select("new_doc", "corpus_doc")
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+    verified = cand.join(
+        base_new.select(
+            F.col("doc_id").alias("new_doc"),
+            F.col("s").alias("sa"),
+            F.size("s").alias("na"),
+        ),
+        "new_doc",
+    ).join(
+        index_sets.select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.col("s").alias("sb"),
+            F.col("n").alias("nb"),
+        ),
+        "corpus_doc",
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return (
+        verified.filter(
+            (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
+        .filter(inter * F.lit(1.0 + threshold) >= F.lit(threshold) * (F.col("na") + F.col("nb")))
+        .select(
+            "new_doc", "corpus_doc",
             F.round(inter / (F.col("na") + F.col("nb") - inter), 6).alias("jac"),
         )
     )
