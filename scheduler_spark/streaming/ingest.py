@@ -140,6 +140,72 @@ def run_dedup_ingest_to_catalog(
     q.awaitTermination()
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "lts",
+    right_ts: str = "rts",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events attributed to
+    the left event they follow within `max_delay` (click→conversion
+    attribution; in the KG pipeline the same shape attributes
+    alias-dictionary updates to the mention batches they affect).
+
+    Both sides carry watermarks AND the join condition bounds
+    right_ts within [left_ts, left_ts + max_delay] — together these
+    let Spark evict buffered state past `watermark + max_delay`
+    instead of holding both streams forever (state is bounded by the
+    delay horizon, not the stream length: the property that matters at
+    100 TB/day).
+    """
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (r_wm[right_ts] >= l_wm[left_ts])
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l_wm.join(r_wm, cond, "inner").drop(r_wm[key])
+
+
+def run_interval_join(
+    spark: SparkSession,
+    left_dir: str,
+    left_schema,
+    right_dir: str,
+    right_schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    left_ts: str = "lts",
+    right_ts: str = "rts",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> None:
+    """AvailableNow drain of the stream-stream interval join."""
+    joined = stream_stream_interval_join(
+        stream_files(spark, left_dir, left_schema),
+        stream_files(spark, right_dir, right_schema),
+        key=key,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        watermark=watermark,
+        max_delay=max_delay,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_source_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -117,3 +117,46 @@ def test_streamed_ingest_shares_catalog_snapshots(spark, tmp_path):
     inc = catalog.read_incremental("ingested", snaps1[-1]["snapshot_id"])
     assert inc.count() == catalog.read("ingested").count() - n1
     assert inc.filter(F.col("ingest_ts") == "2024-01-01 00:00:00").count() == 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks join the view they follow within 30 min; a click outside
+    the delay window and a keyless click produce no rows — driven as a
+    real two-stream query (AvailableNow drain)."""
+    from pyspark.sql import types as T
+
+    from scheduler_spark.streaming.ingest import run_interval_join
+
+    views_schema = T.StructType(
+        [
+            T.StructField("ad", T.StringType(), False),
+            T.StructField("lts", T.TimestampType(), False),
+        ]
+    )
+    clicks_schema = T.StructType(
+        [
+            T.StructField("ad", T.StringType(), False),
+            T.StructField("rts", T.TimestampType(), False),
+        ]
+    )
+    vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+    spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:00:00")],
+        "ad string, lts string",
+    ).withColumn("lts", F.col("lts").cast("timestamp")).write.parquet(vdir)
+    spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00"),  # in-window -> match
+            ("b", "2024-01-01 01:10:00"),  # past max_delay -> dropped
+            ("c", "2024-01-01 00:05:00"),  # no view -> dropped
+        ],
+        "ad string, rts string",
+    ).withColumn("rts", F.col("rts").cast("timestamp")).write.parquet(cdir)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_interval_join(
+        spark, vdir, views_schema, cdir, clicks_schema, out, ckpt, key="ad"
+    )
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert got[0]["ad"] == "a"
