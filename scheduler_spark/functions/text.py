@@ -45,6 +45,64 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Gopher/C4-style per-document quality metrics as pure array-lambda
+    column expressions (no shuffle): token count, type-token ratio,
+    most-common-token fraction, mean word length, duplicate-2-gram
+    fraction.  Ratios rounded to 6 dp (the DuckDB oracle twin in
+    queries.quality_gopher_rules computes the identical formulas)."""
+    toks = word_tokens(text)
+    n_tok = F.size(toks)
+    denom = F.greatest(n_tok, F.lit(1))
+    top_c = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        ),
+        F.lit(0),
+    )
+    char_sum = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    grams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat(F.get(toks, i - 1), F.lit("_"), F.get(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return {
+        "n_tok": n_tok.cast("long"),
+        "distinct_ratio": F.round(F.size(F.array_distinct(toks)) / denom, 6),
+        "top_tok_frac": F.round(top_c / denom, 6),
+        "mean_word_len": F.round(char_sum / denom, 6),
+        "dup_2gram_frac": F.round(
+            (F.size(grams) - F.size(F.array_distinct(grams)))
+            / F.greatest(F.size(grams), F.lit(1)),
+            6,
+        ),
+    }
+
+
+def quality_keep(
+    n_tok: Column,
+    top_tok_frac: Column,
+    distinct_ratio: Column,
+    mean_word_len: Column,
+    min_tokens: int = 50,
+    max_top_tok_frac: float = 0.2,
+    min_distinct_ratio: float = 0.03,
+    word_len_range: tuple[float, float] = (2.0, 10.0),
+) -> Column:
+    """The keep predicate over the (rounded) quality metric columns."""
+    return (
+        (n_tok >= min_tokens)
+        & (top_tok_frac <= max_top_tok_frac)
+        & (distinct_ratio >= min_distinct_ratio)
+        & mean_word_len.between(*word_len_range)
+    )
+
+
 def normalized_fingerprint(text: Column) -> Column:
     """sha256 of lowercase, punctuation-collapsed text — the document
     fingerprint used for exact near-normalization dedup."""

@@ -2155,56 +2155,21 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-2-gram fraction.  Every metric is an array-lambda column
     expression — the whole pass is a single scan with NO shuffle (vs
     the naive explode+groupBy which shuffles one row per token)."""
+    from .functions.text import quality_keep, quality_metrics
+
     d = _t(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    metrics = quality_metrics(F.col("text"))
     m = d.select(
-        "doc_id",
-        "source",
-        toks.alias("toks"),
-        F.size(toks).alias("n_tok"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-    )
-    tk = F.col("toks")
-    top_c = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(tk),
-                lambda t: F.size(F.filter(tk, lambda x: x == t)),
-            )
-        ),
-        F.lit(0),
-    )
-    char_sum = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
-    grams = F.when(
-        F.col("n_tok") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.col("n_tok") - 1),
-            lambda i: F.concat(F.get(tk, i - 1), F.lit("_"), F.get(tk, i)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    m = m.select(
-        "doc_id",
-        "source",
-        F.col("n_tok").cast("long").alias("n_tok"),
-        F.round(F.col("n_distinct") / F.greatest(F.col("n_tok"), F.lit(1)), 6).alias(
-            "distinct_ratio"
-        ),
-        F.round(top_c / F.greatest(F.col("n_tok"), F.lit(1)), 6).alias("top_tok_frac"),
-        F.round(char_sum / F.greatest(F.col("n_tok"), F.lit(1)), 6).alias(
-            "mean_word_len"
-        ),
-        F.round(
-            (F.size(grams) - F.size(F.array_distinct(grams)))
-            / F.greatest(F.size(grams), F.lit(1)),
-            6,
-        ).alias("dup_2gram_frac"),
+        "doc_id", "source", *[expr.alias(name) for name, expr in metrics.items()]
     )
     return m.withColumn(
         "keep",
-        (F.col("n_tok") >= 50)
-        & (F.col("top_tok_frac") <= 0.2)
-        & (F.col("distinct_ratio") >= 0.03)
-        & F.col("mean_word_len").between(2.0, 10.0),
+        quality_keep(
+            F.col("n_tok"),
+            F.col("top_tok_frac"),
+            F.col("distinct_ratio"),
+            F.col("mean_word_len"),
+        ),
     )
 
 
