@@ -43,8 +43,12 @@ def _build_session(local_cores: int | None) -> SparkSession:
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m scheduler_spark")
+    p.add_argument("--job", choices=["kg", "corpus"], default="kg",
+                   help="kg: incremental KG sync; corpus: training-corpus "
+                        "prep (quality→dedup→split→pack)")
     p.add_argument("--input", required=True,
-                   help="parquet path of the files corpus, or synth:<n_files>")
+                   help="parquet path of the files corpus, or synth:<n_files>; "
+                        "for --job corpus: parquet with (doc_id, source, text)")
     p.add_argument("--aliases", default=None,
                    help="parquet path of the (alias, entity_id) dictionary; "
                         "default: the deterministic synthetic dictionary")
@@ -60,6 +64,22 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     own_session = spark is None
     if spark is None:
         spark = _build_session(args.local_cores)
+
+    if args.job == "corpus":
+        from dataclasses import asdict
+
+        from .operators.corpus import prepare_training_corpus
+
+        docs = spark.read.parquet(args.input).select("doc_id", "source", "text")
+        res = asdict(
+            prepare_training_corpus(
+                docs, Catalog(args.catalog, spark), run_id=args.run_id
+            )
+        )
+        print(json.dumps(res))
+        if own_session and args.local_cores is not None:
+            spark.stop()
+        return 0
 
     if args.input.startswith("synth:"):
         files = synth_files(spark, int(args.input.split(":", 1)[1]))

@@ -49,3 +49,18 @@ def test_cli_job_strict_exit_code(spark, tmp_path, capsys):
     )
     assert code == EXIT_STRICT_QUARANTINE
     assert out["strict"] is True
+
+
+def test_cli_corpus_job(spark, tmp_path, capsys):
+    code, out = _run(
+        spark,
+        capsys,
+        ["--job", "corpus", "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--catalog", str(tmp_path / "kg3"), "--run-id", "c1"],
+    )
+    assert code == 0
+    assert out["n_train"] > 0
+    assert out["n_input"] == (
+        out["n_quality_rejected"] + out["n_exact_dups"] + out["n_near_dups"]
+        + out["n_train"] + out["n_val"]
+    )
