@@ -51,12 +51,15 @@ class CorpusResult:
 
 
 def _keepers_after_near_dup(pairs: DataFrame) -> DataFrame:
-    """Near-dup pair graph → (doc_id, keeper_doc_id); min id per
-    component is the keeper (deterministic under any partitioning)."""
+    """Near-dup pair graph → (doc_id, keeper_doc_id); the NUMERIC min id
+    per component is the keeper.  connected_components canonicalizes by
+    LEXICOGRAPHIC min of the string ids, so ids are zero-padded to a
+    fixed width first ("09" < "10" where "10" < "9") — without the pad
+    a component spanning a digit-length boundary keeps the wrong doc."""
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
     ents = connected_components(
         pairs.select(
-            F.col("doc_a").cast("string").alias("src_entity"),
-            F.col("doc_b").cast("string").alias("dst_entity"),
+            pad("doc_a").alias("src_entity"), pad("doc_b").alias("dst_entity")
         )
     )
     return ents.select(
@@ -100,7 +103,8 @@ def prepare_training_corpus(
     tagged = tagged.localCheckpoint()
     n_input = tagged.count()
     kept = tagged.filter(F.col("keep"))
-    n_quality_rejected = n_input - kept.count()
+    n_kept = kept.count()
+    n_quality_rejected = n_input - n_kept
 
     # exact dedup: keep the min doc_id per normalized fingerprint
     fp = kept.withColumn("fingerprint", normalized_fingerprint(F.col("text")))
@@ -110,7 +114,7 @@ def prepare_training_corpus(
         .filter(F.col("doc_id") == F.col("_min_id"))
         .drop("_min_id", "fingerprint")
     )
-    n_exact_dups = kept.count() - uniques.count()
+    n_exact_dups = n_kept - uniques.count()
 
     # near-dup: LSH pairs over the survivors, CC, keep component minima
     pairs = minhash_lsh_pairs(

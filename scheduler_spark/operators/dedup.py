@@ -319,29 +319,45 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     sets = base.select("doc_id", "s", F.size("s").alias("n"))
-    cand = pairs.join(
-        sets.select(
-            F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.col("n").alias("na")
+    return _verify_exact_jaccard(pairs, sets, sets, "doc_a", "doc_b", threshold)
+
+
+def _verify_exact_jaccard(
+    cand: DataFrame,
+    left_sets: DataFrame,
+    right_sets: DataFrame,
+    left_id: str,
+    right_id: str,
+    threshold: float,
+) -> DataFrame:
+    """cand(left_id, right_id) + (doc_id, s, n) set tables per side →
+    verified pairs with exact Jaccard ≥ threshold.
+
+    Size-band prune before the intersect (J ≥ t forces t·|B| ≤ |A|),
+    then |A∪B| = |A|+|B|−|A∩B| with single-reference filter algebra as
+    in the exact twin (t·(|A|+|B|) ≤ (1+t)·|A∩B| ⇔ J ≥ t).  Shared by
+    the self-join path (minhash_lsh_pairs) and the incremental
+    batch-vs-index path so the verify semantics can never diverge."""
+    joined = cand.join(
+        left_sets.select(
+            F.col("doc_id").alias(left_id), F.col("s").alias("sa"), F.col("n").alias("na")
         ),
-        "doc_a",
+        left_id,
     ).join(
-        sets.select(
-            F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
+        right_sets.select(
+            F.col("doc_id").alias(right_id), F.col("s").alias("sb"), F.col("n").alias("nb")
         ),
-        "doc_b",
+        right_id,
     )
     inter = F.size(F.array_intersect("sa", "sb"))
-    # size-band prune before the intersect (J ≥ t forces t·|B| ≤ |A|),
-    # then |A∪B| = |A|+|B|−|A∩B| with single-reference filter algebra
-    # as in the exact twin (t·(|A|+|B|) ≤ (1+t)·|A∩B| ⇔ J ≥ t)
     return (
-        cand.filter(
+        joined.filter(
             (F.col("na") >= threshold * F.col("nb"))
             & (F.col("nb") >= threshold * F.col("na"))
         )
         .filter(inter * F.lit(1.0 + threshold) >= F.lit(threshold) * (F.col("na") + F.col("nb")))
         .select(
-            "doc_a", "doc_b",
+            left_id, right_id,
             F.round(inter / (F.col("na") + F.col("nb") - inter), 6).alias("jac"),
         )
     )
@@ -418,32 +434,9 @@ def match_against_index(
         .select("new_doc", "corpus_doc")
         .dropDuplicates(["new_doc", "corpus_doc"])
     )
-    verified = cand.join(
-        base_new.select(
-            F.col("doc_id").alias("new_doc"),
-            F.col("s").alias("sa"),
-            F.size("s").alias("na"),
-        ),
-        "new_doc",
-    ).join(
-        index_sets.select(
-            F.col("doc_id").alias("corpus_doc"),
-            F.col("s").alias("sb"),
-            F.col("n").alias("nb"),
-        ),
-        "corpus_doc",
-    )
-    inter = F.size(F.array_intersect("sa", "sb"))
-    return (
-        verified.filter(
-            (F.col("na") >= threshold * F.col("nb"))
-            & (F.col("nb") >= threshold * F.col("na"))
-        )
-        .filter(inter * F.lit(1.0 + threshold) >= F.lit(threshold) * (F.col("na") + F.col("nb")))
-        .select(
-            "new_doc", "corpus_doc",
-            F.round(inter / (F.col("na") + F.col("nb") - inter), 6).alias("jac"),
-        )
+    new_sets = base_new.select("doc_id", "s", F.size("s").alias("n"))
+    return _verify_exact_jaccard(
+        cand, new_sets, index_sets, "new_doc", "corpus_doc", threshold
     )
 
 

@@ -53,21 +53,23 @@ def pagerank(
     up to float summation order — callers that hash-compare results
     should round (the oracle gate rounds to 6 dp).
     """
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # nodes derive from the RAW edge list so a node whose only edge is a
+    # self-loop still gets a rank row (as a dangling node); only the
+    # walk ignores self-loops
     nodes = (
-        e.select(F.col("u").alias("n"))
-        .union(e.select(F.col("v").alias("n")))
+        raw.select(F.col("u").alias("n"))
+        .union(raw.select(F.col("v").alias("n")))
         .distinct()
         .localCheckpoint()
     )
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return e.sparkSession.createDataFrame([], "entity_id string, rank double")
+        # empty-input empty output, preserving the caller's id type
+        return raw.select(
+            F.col("u").alias("entity_id"), F.lit(0.0).alias("rank")
+        ).limit(0)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
 
     ranks = nodes.select("n", (F.lit(1.0) / n_nodes).alias("rank"))

@@ -1314,6 +1314,37 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Shared deterministic entity graph (o_orderkey-derived) used by the CC
+# oracle, PageRank, and triangle-count gates — ONE definition each side
+# ===========================================================================
+
+# ~280 nodes / 56 components; orderkeys divisible by 5 produce
+# self-loops (7919k ≡ 104729k mod 50 ⇔ k ≡ 0 mod 5), which the graph
+# operators must tolerate.
+_ORDER_GRAPH_RAW_CTE = """SELECT concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
+                    CAST((o_orderkey * 7919) % 50 AS VARCHAR)) AS u,
+             concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
+                    CAST((o_orderkey * 104729) % 50 AS VARCHAR)) AS v
+      FROM orders WHERE o_orderkey < 1500"""
+
+
+def _order_graph_edges(
+    spark: SparkSession, sf_dir: str, src: str = "src_entity", dst: str = "dst_entity"
+) -> DataFrame:
+    """Spark twin of _ORDER_GRAPH_RAW_CTE."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    u = F.concat(
+        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
+        F.lit("_"), F.pmod(F.col("o_orderkey") * 7919, F.lit(50)).cast("string"),
+    )
+    v = F.concat(
+        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
+        F.lit("_"), F.pmod(F.col("o_orderkey") * 104729, F.lit(50)).cast("string"),
+    )
+    return o.select(u.alias(src), v.alias(dst))
+
+
+# ===========================================================================
 # Canonicalization core — connected components, ORACLE-CHECKED: the one
 # custom iterative algorithm verified against a DuckDB recursive-CTE
 # transitive closure on a deterministic synthetic graph
@@ -1321,14 +1352,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "connected_components_oracle",
-    """
+    f"""
     WITH RECURSIVE
     raw AS (
-      SELECT concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
-                    CAST((o_orderkey * 7919) % 50 AS VARCHAR)) AS u,
-             concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
-                    CAST((o_orderkey * 104729) % 50 AS VARCHAR)) AS v
-      FROM orders WHERE o_orderkey < 1500),
+      {_ORDER_GRAPH_RAW_CTE}),
     edges AS (
       SELECT u, v FROM raw WHERE u != v
       UNION
@@ -1349,16 +1376,7 @@ def connected_components_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from o_orderkey on both sides."""
     from .operators.components import connected_components
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
-    u = F.concat(
-        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
-        F.lit("_"), F.pmod(F.col("o_orderkey") * 7919, F.lit(50)).cast("string"),
-    )
-    v = F.concat(
-        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
-        F.lit("_"), F.pmod(F.col("o_orderkey") * 104729, F.lit(50)).cast("string"),
-    )
-    edges = o.select(u.alias("src_entity"), v.alias("dst_entity"))
+    edges = _order_graph_edges(spark, sf_dir)
     # threshold=0 forces the DISTRIBUTED large-star/small-star loop —
     # the scale-critical path — under the oracle; the driver union-find
     # fast path is equivalence-tested against it in tests/test_components.py
@@ -2327,15 +2345,11 @@ def entity_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pagerank_entity_rank",
-    """
+    f"""
     WITH raw AS (
-      SELECT concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
-                    CAST((o_orderkey * 7919) % 50 AS VARCHAR)) AS u,
-             concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
-                    CAST((o_orderkey * 104729) % 50 AS VARCHAR)) AS v
-      FROM orders WHERE o_orderkey < 1500),
+      {_ORDER_GRAPH_RAW_CTE}),
     edges AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
-    nodes AS (SELECT u AS n FROM edges UNION SELECT v AS n FROM edges),
+    nodes AS (SELECT u AS n FROM raw UNION SELECT v AS n FROM raw),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
     deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
     r0 AS (SELECT n, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes),
@@ -2369,29 +2383,16 @@ def pagerank_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order ulp noise."""
     from .operators.pagerank import pagerank
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
-    u = F.concat(
-        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
-        F.lit("_"), F.pmod(F.col("o_orderkey") * 7919, F.lit(50)).cast("string"),
-    )
-    v = F.concat(
-        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
-        F.lit("_"), F.pmod(F.col("o_orderkey") * 104729, F.lit(50)).cast("string"),
-    )
-    edges = o.select(u.alias("src_entity"), v.alias("dst_entity"))
+    edges = _order_graph_edges(spark, sf_dir)
     pr = pagerank(edges, iterations=2, damping=0.85)
     return pr.select("entity_id", F.round("rank", 6).alias("pr_score"))
 
 
 @query(
     "kg_triangle_count",
-    """
+    f"""
     WITH raw AS (
-      SELECT concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
-                    CAST((o_orderkey * 7919) % 50 AS VARCHAR)) AS u,
-             concat('b', CAST(o_orderkey % 7 AS VARCHAR), '_',
-                    CAST((o_orderkey * 104729) % 50 AS VARCHAR)) AS v
-      FROM orders WHERE o_orderkey < 1500),
+      {_ORDER_GRAPH_RAW_CTE}),
     pairs AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
               FROM raw WHERE u <> v)
     SELECT CAST(count(*) AS BIGINT) AS n_triangles
@@ -2408,17 +2409,8 @@ def kg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     node ids, never a cross product.  Production refinement at web
     scale orders by degree instead of id so high-degree hubs sit on
     the closing (cheap) side of the wedge join."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
-    u = F.concat(
-        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
-        F.lit("_"), F.pmod(F.col("o_orderkey") * 7919, F.lit(50)).cast("string"),
-    )
-    v = F.concat(
-        F.lit("b"), F.pmod("o_orderkey", F.lit(7)).cast("string"),
-        F.lit("_"), F.pmod(F.col("o_orderkey") * 104729, F.lit(50)).cast("string"),
-    )
     pairs = (
-        o.select(u.alias("_u"), v.alias("_v"))
+        _order_graph_edges(spark, sf_dir, src="_u", dst="_v")
         .filter(F.col("_u") != F.col("_v"))
         .select(
             F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")

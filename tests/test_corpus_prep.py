@@ -76,3 +76,17 @@ def test_pack_ids_are_contiguous_per_split_source(spark, tmp_path):
         for r in rows:
             assert r["pack_id"] == tok_before // 128
             tok_before += r["n_tok"]
+
+
+def test_near_dup_keeper_is_numeric_min_across_digit_boundary(spark):
+    """Doc ids 9 and 10 in one component: the keeper must be 9 (numeric
+    min), not 10 (the lexicographic min of the unpadded strings)."""
+    from scheduler_spark.operators.corpus import _keepers_after_near_dup
+
+    pairs = spark.createDataFrame(
+        [(9, 10, 0.9), (999, 1000, 0.9)], "doc_a long, doc_b long, jac double"
+    )
+    keepers = {
+        r["doc_id"]: r["keeper_doc_id"] for r in _keepers_after_near_dup(pairs).collect()
+    }
+    assert keepers == {9: 9, 10: 9, 999: 999, 1000: 999}

@@ -119,3 +119,18 @@ def test_pagerank_deterministic_and_self_loop_free(spark):
     # self-loop dropped → pure 3-cycle → uniform stationary distribution
     for _, v in r1:
         assert v == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_pagerank_self_loop_only_node_gets_rank_row(spark):
+    # 'a' appears only in a self-loop: it must still get a rank row
+    # (as a dangling node), and total mass stays 1.
+    rows = pagerank(_edges(spark, [("a", "a"), ("b", "c")]), iterations=5).collect()
+    ranks = {r["entity_id"]: r["rank"] for r in rows}
+    assert set(ranks) == {"a", "b", "c"}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_empty_edges(spark):
+    out = pagerank(_edges(spark, []), iterations=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["entity_id", "rank"]
