@@ -45,13 +45,19 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def quality_metrics(text: Column) -> dict[str, Column]:
+def quality_metrics(toks: Column) -> dict[str, Column]:
     """Gopher/C4-style per-document quality metrics as pure array-lambda
     column expressions (no shuffle): token count, type-token ratio,
     most-common-token fraction, mean word length, duplicate-2-gram
     fraction.  Ratios rounded to 6 dp (the DuckDB oracle twin in
-    queries.quality_gopher_rules computes the identical formulas)."""
-    toks = word_tokens(text)
+    queries.quality_gopher_rules computes the identical formulas).
+
+    `toks` must be a MATERIALIZED tokens column (`word_tokens` aliased
+    in a prior select), not the tokenization expression itself: the
+    metrics reference it ~8×, and inlining the regex per reference
+    multiplied the whole pass ~6× (12 s → 2 s at sf0.1 — projections
+    don't CSE expensive subexpressions, but CollapseProject keeps a
+    multiply-referenced non-cheap column in its own projection)."""
     n_tok = F.size(toks)
     denom = F.greatest(n_tok, F.lit(1))
     top_c = F.coalesce(

@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import normalized_fingerprint, quality_keep, quality_metrics
+from ..functions.text import (
+    normalized_fingerprint,
+    quality_keep,
+    quality_metrics,
+    word_tokens,
+)
 from .components import connected_components
 from .dedup import minhash_lsh_pairs
 
@@ -82,8 +87,10 @@ def prepare_training_corpus(
     Counter arithmetic is auditable:
     n_input = rejected + exact_dups + near_dups + n_train + n_val.
     """
-    metrics = quality_metrics(F.col("text"))
+    metrics = quality_metrics(F.col("toks"))
     tagged = docs.select(
+        "doc_id", "source", "text", word_tokens(F.col("text")).alias("toks")
+    ).select(
         "doc_id",
         "source",
         "text",

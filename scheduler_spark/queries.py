@@ -2173,11 +2173,12 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-2-gram fraction.  Every metric is an array-lambda column
     expression — the whole pass is a single scan with NO shuffle (vs
     the naive explode+groupBy which shuffles one row per token)."""
-    from .functions.text import quality_keep, quality_metrics
+    from .functions.text import quality_keep, quality_metrics, word_tokens
 
     d = _t(spark, sf_dir, "documents")
-    metrics = quality_metrics(F.col("text"))
-    m = d.select(
+    t = d.select("doc_id", "source", word_tokens(F.col("text")).alias("toks"))
+    metrics = quality_metrics(F.col("toks"))
+    m = t.select(
         "doc_id", "source", *[expr.alias(name) for name, expr in metrics.items()]
     )
     return m.withColumn(
