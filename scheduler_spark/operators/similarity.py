@@ -85,6 +85,47 @@ def _bucket_signature(vec_col, dim: int, n_planes: int):
     return out
 
 
+def _hash_ordered_sample(corpus, id_col: str, vec_col: str, n: int):
+    """Deterministic, layout-independent training sample: order by a
+    hash of the id and take the first `n` (a TakeOrdered — one scan +
+    per-partition top-k, no full sort).  A bare `.limit()` would read
+    the FIRST partition(s) only: on a clustered/sorted corpus the
+    quantizer would train on one file's distribution and cell balance
+    collapses (hash order ≈ uniform over the whole corpus instead)."""
+    import numpy as np
+
+    return np.array(
+        [
+            r["v"]
+            for r in corpus.select(
+                F.col(vec_col).cast("array<float>").alias("v"),
+                F.xxhash64(F.col(id_col)).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(n)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+
+
+def _lloyd_kmeans(sample, k: int, iters: int, seed: int):
+    """Driver-side Lloyd's on a bounded sample — centroids are a tiny
+    model, broadcast into the plan as literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(cents)):
+            members = sample[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -106,36 +147,8 @@ def ivf_ann_topk(
     10^12 scale the sample stays bounded and the per-cell scan is
     N*(n_probes/n_lists) — the standard IVF cost model.
     """
-    import numpy as np
-
-    # Deterministic, layout-independent sample: order by a hash of the
-    # id and take the first `train_sample` (a TakeOrdered — one scan +
-    # per-partition top-k, no full sort).  A bare `.limit()` would read
-    # the FIRST partition(s) only: on a clustered/sorted corpus the
-    # quantizer would train on one file's distribution and cell balance
-    # collapses (hash order ≈ uniform over the whole corpus instead).
-    sample = np.array(
-        [
-            r["v"]
-            for r in corpus.select(
-                F.col(vec_col).cast("array<float>").alias("v"),
-                F.xxhash64(F.col(id_col)).alias("_h"),
-            )
-            .orderBy("_h")
-            .limit(train_sample)
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    rng = np.random.RandomState(seed)
-    cents = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
-    for _ in range(kmeans_iters):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(len(cents)):
-            members = sample[assign == j]
-            if len(members):
-                cents[j] = members.mean(axis=0)
+    sample = _hash_ordered_sample(corpus, id_col, vec_col, train_sample)
+    cents = _lloyd_kmeans(sample, n_lists, kmeans_iters, seed)
 
     def dist2_to(centroid: list[float], vec) -> Column:
         c = F.array(*[F.lit(float(x)) for x in centroid])
@@ -264,6 +277,141 @@ def _bucket_signature_offset(vec_col, dim: int, n_planes: int, plane_offset: int
     for b in bits[1:]:
         out = out.bitwiseXOR(b)
     return out
+
+
+def ivfpq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probes: int = 2,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    train_sample: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI'11): coarse IVF cells bound the candidate
+    set, PRODUCT-QUANTIZED codes rank it, and only the ADC shortlist
+    fetches real vectors for an exact cosine re-rank.
+
+    Why this is the 100 TB embedding plan: the candidate join carries
+    `m_subspaces` small ints per corpus row (8 codes ≈ 8 B) instead of
+    the 64×8 B vector — a 64× shuffle-width reduction on the big side.
+    Per query the m×n_codes lookup tables are computed ONCE (pre-join
+    column arrays), so ranking a candidate costs m array lookups + a
+    sum; real vectors are touched again only for the `shortlist` rows
+    per query (a bounded gather join), which restores exact-cosine
+    precision — recall is the only approximation, and it is measured
+    (queries.ann_ivfpq_recall), not trusted.
+
+    Vectors are L2-normalized before cell assignment and encoding so
+    ADC's squared-L2 ordering coincides with cosine ordering; the final
+    re-rank uses the ORIGINAL vectors through the same `cosine()`
+    expression as brute_force_topk, so reported sims are bit-identical
+    to the exact baseline's.
+    """
+    sample = _hash_ordered_sample(corpus, id_col, vec_col, train_sample)
+    norms = ((sample * sample).sum(axis=1)) ** 0.5
+    norms[norms == 0.0] = 1.0
+    nsample = sample / norms[:, None]
+    dim = nsample.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    coarse = _lloyd_kmeans(nsample, n_lists, kmeans_iters, seed)
+    books = [
+        _lloyd_kmeans(nsample[:, s * sub:(s + 1) * sub], n_codes, kmeans_iters, seed + 1 + s)
+        for s in range(m_subspaces)
+    ]
+
+    def dist2_to(centroid, vec) -> Column:
+        c = F.array(*[F.lit(float(x)) for x in centroid])
+        return F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def nearest(vec, cents, n: int):
+        dists = F.array(
+            *[
+                F.struct(dist2_to(c, vec).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(cents.tolist())
+            ]
+        )
+        return F.slice(F.transform(F.array_sort(dists), lambda s: s["j"]), 1, n)
+
+    def norm_of(e) -> Column:
+        n = F.sqrt(F.aggregate(F.transform(e, lambda y: y * y), F.lit(0.0), lambda a, y: a + y))
+        return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+
+    subvec = lambda e, s: F.slice(e, s * sub + 1, sub)  # noqa: E731
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("ec")
+        )
+        .withColumn("nrm", norm_of(F.col("ec")))
+        .withColumn("en", F.transform(F.col("ec"), lambda x: x / F.col("nrm")))
+        .select(
+            "cid",
+            F.element_at(nearest(F.col("en"), coarse, 1), 1).alias("cell"),
+            F.array(
+                *[
+                    F.element_at(nearest(subvec(F.col("en"), s), books[s], 1), 1)
+                    for s in range(m_subspaces)
+                ]
+            ).alias("codes"),
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("eq")
+        )
+        .withColumn("nrm", norm_of(F.col("eq")))
+        .withColumn("en", F.transform(F.col("eq"), lambda x: x / F.col("nrm")))
+        .select(
+            "qid",
+            "eq",
+            F.explode(nearest(F.col("en"), coarse, n_probes)).alias("cell"),
+            *[
+                F.array(
+                    *[dist2_to(cc, subvec(F.col("en"), s)) for cc in books[s].tolist()]
+                ).alias(f"lut{s}")
+                for s in range(m_subspaces)
+            ],
+        )
+    )
+    adc = F.element_at(F.col("lut0"), F.element_at("codes", 1) + F.lit(1))
+    for s in range(1, m_subspaces):
+        adc = adc + F.element_at(F.col(f"lut{s}"), F.element_at("codes", s + 1) + F.lit(1))
+
+    w_short = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("cid"))
+    short = (
+        q.join(c, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("adc", adc)
+        .withColumn("srank", F.row_number().over(w_short))
+        .filter(F.col("srank") <= shortlist)
+        .select("qid", "eq", "cid")
+    )
+    # bounded gather: real vectors only for the shortlist rows
+    fetch = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("ec")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        short.join(fetch, "cid")
+        .withColumn("sim", cosine(F.col("eq"), F.col("ec")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "rank", F.round("sim", 6).alias("sim"))
+    )
 
 
 def lsh_ann_topk(

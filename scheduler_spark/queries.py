@@ -1384,6 +1384,54 @@ def connected_components_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Graph neighborhood expansion — bounded multi-source BFS shortest paths,
+# oracle-checked against a DuckDB recursive-CTE walk closure
+# ===========================================================================
+
+@query(
+    "graph_bfs_distances",
+    f"""
+    WITH RECURSIVE
+    raw AS (
+      {_ORDER_GRAPH_RAW_CTE}),
+    edges AS (
+      SELECT u, v FROM raw WHERE u != v
+      UNION
+      SELECT v, u FROM raw WHERE u != v),
+    seeds AS (SELECT DISTINCT u AS s FROM edges WHERE starts_with(u, 'b0_')),
+    walk AS (
+      SELECT s AS src, s AS dst, 0 AS dist FROM seeds
+      UNION
+      SELECT w.src, e.v AS dst, w.dist + 1 FROM walk w
+      JOIN edges e ON e.u = w.dst
+      WHERE w.dist < 4
+    )
+    SELECT src AS src_node, dst AS dst_node, CAST(min(dist) AS BIGINT) AS dist
+    FROM walk WHERE dst != src GROUP BY src, dst
+    """,
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (operators/bfs.py frontier loop) vs the SQL
+    ground truth: min walk length from the recursive closure, bounded
+    at 4 hops.  First-reach-wins in the Spark loop must equal
+    min-over-all-walks in the CTE — the whole shortest-path contract
+    in one hash-compared gate, on the same deterministic order graph
+    the CC oracle uses."""
+    from .operators.bfs import bfs_shortest_paths
+
+    raw = _order_graph_edges(spark, sf_dir, src="u", dst="v").filter(
+        F.col("u") != F.col("v")
+    )
+    sym = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = (
+        sym.filter(F.col("u").startswith("b0_"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
+    return bfs_shortest_paths(raw, seeds, src="u", dst="v", max_hops=4)
+
+
+# ===========================================================================
 # KG analytics over the committed golden triples — entity popularity
 # ===========================================================================
 
@@ -1784,6 +1832,192 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# URL canonicalization + domain blocklist (web-corpus identity: the
+# same page under tracking params / www / default ports / fragments
+# must key dedup and per-site policy identically; functions/url.py)
+# ===========================================================================
+
+_MESSY_URL_SQL = """
+    concat('HTTPS://WWW.',
+           CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END,
+           source, '.ORG',
+           CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+           '/Docs/', CAST(doc_id AS VARCHAR),
+           CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&b=2&a=1'
+                WHEN doc_id % 3 = 1 THEN '?a=1&utm_campaign=x#frag'
+                ELSE '/' END)
+"""
+
+
+def _messy_url_col():
+    """Spark twin of _MESSY_URL_SQL — deterministic messy URLs carved
+    from the documents table (testdata has no URL column): per-source
+    registrable domains (srcN.org), an extra subdomain every 5th doc
+    (exercises last-two-label extraction), default ports, tracking
+    params, unsorted params, fragments, trailing slashes."""
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".ORG"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/?utm_source=feed&b=2&a=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&utm_campaign=x#frag"))
+        .otherwise(F.lit("/")),
+    )
+
+
+@query(
+    "url_normalize_canonical",
+    f"""
+    WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          ':(80|443)$', ''), '^www\\.', '') AS host,
+        regexp_replace(
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+          '/+$', '') AS rawpath,
+        coalesce(array_to_string(list_sort(list_filter(
+          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)=')
+        )), '&'), '') AS q
+      FROM u)
+    SELECT doc_id,
+           concat(scheme, '://', host,
+                  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END,
+                  CASE WHEN q = '' THEN '' ELSE concat('?', q) END) AS url_norm,
+           CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = ''
+                THEN host
+                ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+    FROM parts
+    """,
+)
+def url_normalize_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical URL per document — every rule (fragment, case, www,
+    default port, trailing slash, tracking params, param sort) is
+    hash-compared against the SQL mirror, string-for-string."""
+    from .functions.url import normalize_url, registered_domain, url_host
+
+    d = _t(spark, sf_dir, "documents").withColumn("url", _messy_url_col())
+    return d.select(
+        "doc_id",
+        normalize_url(F.col("url")).alias("url_norm"),
+        registered_domain(url_host(F.col("url"))).alias("domain"),
+    )
+
+
+@query(
+    "domain_blocklist_filter",
+    f"""
+    WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    h AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+          ':(80|443)$', ''), '^www\\.', '') AS host
+      FROM u),
+    d AS (
+      SELECT doc_id,
+        CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = ''
+             THEN host ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+      FROM h)
+    SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+    FROM d
+    WHERE domain NOT IN ('src3.org', 'src7.org')
+    GROUP BY domain
+    """,
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain blocklist as a BROADCAST anti-join (the
+    blocklist is always driver-small — thousands of rows at worst —
+    while the doc side is the 100 TB side), then per-domain rollup of
+    what survived."""
+    from .functions.url import registered_domain, url_host
+
+    d = _t(spark, sf_dir, "documents").withColumn("url", _messy_url_col())
+    docs = d.select(
+        "doc_id", registered_domain(url_host(F.col("url"))).alias("domain")
+    )
+    block = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [("src3.org",), ("src7.org",)], "domain string"
+        )
+    )
+    return (
+        docs.join(block, "domain", "left_anti")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ===========================================================================
+# Training-corpus source mixing — weighted repetition/subsampling per
+# source (the "2 epochs of wiki, 0.25 of crawl" knob every LM data
+# recipe has).  Deterministic: the fractional part of the weight is
+# resolved per-doc by an arithmetic hash both engines can compute, so
+# the mixed corpus is a pure function of (table, weights) — rerunnable
+# and resumable with no RNG state.
+# ===========================================================================
+
+_MIX_WEIGHT_SQL = """
+    CASE WHEN source IN ('src0', 'src1') THEN 2.5
+         WHEN source IN ('src2', 'src3') THEN 0.25
+         ELSE 1.0 END
+"""
+
+
+@query(
+    "corpus_mix_weights",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(floor({_MIX_WEIGHT_SQL}) AS BIGINT)
+             + CASE WHEN (doc_id * 2654435761) % 1000
+                         < CAST(round(({_MIX_WEIGHT_SQL} - floor({_MIX_WEIGHT_SQL})) * 1000)
+                                AS BIGINT)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents)
+    SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+    FROM w WHERE n_copies >= 1
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: floor(w) guaranteed copies per doc plus
+    one more for the hash-selected fraction; explode to one row per
+    copy.  Shuffle-free (explode rides the scan); at 100 TB the
+    repetition factor multiplies bytes downstream, never the shuffle
+    key space."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        F.when(F.col("source").isin("src0", "src1"), F.lit(2.5))
+        .when(F.col("source").isin("src2", "src3"), F.lit(0.25))
+        .otherwise(F.lit(1.0))
+    )
+    frac_kept = (F.col("doc_id") * F.lit(2654435761)) % 1000 < F.round(
+        (w - F.floor(w)) * 1000
+    ).cast("long")
+    n_copies = (
+        F.floor(w).cast("long") + F.when(frac_kept, F.lit(1)).otherwise(F.lit(0))
+    ).alias("n_copies")
+    return (
+        d.select("doc_id", "source", n_copies)
+        .filter(F.col("n_copies") >= 1)
+        # Spark's sequence(1, 0) would count DOWN ([1, 0]); the filter
+        # above guarantees n_copies >= 1 so the ascending form is safe
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "copy_id"
+            ),
+        )
+    )
+
+
 @query(
     "doc_fingerprint",
     """
@@ -1989,6 +2223,56 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _t(spark, sf_dir, "embeddings")
     q = v.filter(F.col("vec_id") < 5)
     approx = ivf_ann_topk(q, v, k=10, n_lists=8, n_probes=6).select("qid", "cid")
+    hits = truth.join(approx, ["qid", "cid"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            (F.col("n_hit") >= F.lit(0.9) * F.col("n_true")).alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "ann_ivfpq_recall",
+    """
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+         truth AS (
+           SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+                    row_number() OVER (PARTITION BY q.qid ORDER BY
+                      list_dot_product(q.e, c.e)
+                      / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+                      DESC, c.cid) AS rank
+             FROM q, c WHERE q.qid != c.cid)
+           WHERE rank <= 10)
+    SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok FROM truth
+    """,
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF-PQ path (coarse cells → 8×16 product codes
+    → ADC shortlist → exact re-rank) vs the brute-force top-k.
+    recall_ok = recall ≥ 0.9 at the same 6/8 probe budget the plain-IVF
+    gate uses.
+
+    Near-isotropic vectors are PQ's adversarial case (quantization
+    noise ≈ the gap between cos 0.3 neighbors), so the shortlist must
+    be generous: measured at sf0.01, shortlist 50 → 0.66, 100 → 0.82,
+    150 → 0.92 against the plain-IVF ceiling of 0.94 at these probes —
+    i.e. a 15×k shortlist prices the ADC approximation at 0.02 recall.
+    This gate MEASURES that claim instead of trusting it."""
+    from .operators.similarity import ivfpq_ann_topk
+
+    truth = ann_cosine_topk(spark, sf_dir).select("qid", "cid")
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 5)
+    approx = ivfpq_ann_topk(
+        q, v, k=10, n_lists=8, n_probes=6, shortlist=150
+    ).select("qid", "cid")
     hits = truth.join(approx, ["qid", "cid"], "left_semi")
     return (
         truth.agg(F.count(F.lit(1)).alias("n_true"))
@@ -2804,6 +3088,17 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(q, v, k=10, n_lists=8, n_probes=2)
 
 
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: product-quantized candidate ranking (codes-only
+    shuffle on the corpus side) + exact re-rank of the ADC shortlist;
+    recall measured by ann_ivfpq_recall."""
+    from .operators.similarity import ivfpq_ann_topk
+
+    v = _t(spark, sf_dir, "embeddings")
+    q = v.filter(F.col("vec_id") < 5)
+    return ivfpq_ann_topk(q, v, k=10, n_lists=8, n_probes=2)
+
+
 # Golden-artifact oracles for the KG entries: the committed parquet
 # (tools/make_golden.py) pins the pipeline's exact output — the analog
 # of the reference's golden e2e fixtures (defs_test.py:75-130).  DuckDB
@@ -2894,6 +3189,7 @@ _ROWS_ONLY: dict[str, Query] = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
+    "ann_ivfpq": ann_ivfpq,
 }
 
 
@@ -2909,6 +3205,7 @@ _PRIORITY = [
     # approximate-path recall gates (measured, oracle-recomputed truth)
     "dedup_minhash_lsh_recall",
     "ann_ivf_recall",
+    "ann_ivfpq_recall",
     "ann_embedding_lsh_recall",
     "dedup_simhash_recall",
     "dedup_cluster_keepers",
@@ -2918,6 +3215,7 @@ _PRIORITY = [
     "kg_3hop_chain",
     "kg_entity_degree_topk",
     "connected_components_oracle",
+    "graph_bfs_distances",
     # dedup / ANN (exact yardsticks first, then the fingerprint ops)
     "dedup_exact_by_fingerprint",
     "doc_fingerprint",
@@ -2933,6 +3231,9 @@ _PRIORITY = [
     "lang_id_heuristic",
     "doc_quality_score",
     "token_counts",
+    "url_normalize_canonical",
+    "domain_blocklist_filter",
+    "corpus_mix_weights",
     "suffix_artifact_filter",
     "log_severity_rollup",
     "scan_pushdown_projection",
@@ -2956,6 +3257,7 @@ _PRIORITY = [
     "dedup_embedding_lsh",
     "ann_lsh_bucketed",
     "ann_ivf",
+    "ann_ivfpq",
     # flagship relational gates (r02-green; re-verified inside the window)
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -206,6 +206,63 @@ def run_interval_join(
     q.awaitTermination()
 
 
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION windows: per-key activity bursts separated
+    by ≥ `gap` of silence become one row each — the streaming twin of
+    the batch sessionize query (queries.events_sessionize uses the
+    lag-over-window formulation; this is the same contract expressed
+    as a dynamic-gap window so state is merged incrementally and
+    expired by the watermark instead of a full per-key sort).
+
+    Scale note: state per key is the set of OPEN sessions only; the
+    watermark closes and emits sessions whose gap has provably passed,
+    so state is bounded by (active keys × open sessions), not history.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
+        )
+    )
+
+
+def run_session_counts(
+    spark,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> None:
+    """AvailableNow drain of session_window_counts over a file stream.
+    Append mode: only watermark-closed sessions are emitted, so a
+    second drain with later data can still extend sessions that were
+    open at the first drain's horizon."""
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = (
+        session_window_counts(stream, gap=gap, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_source_counts(
     events: DataFrame,
     ts_col: str = "ts",

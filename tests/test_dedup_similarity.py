@@ -232,3 +232,44 @@ def test_winnow_posting_cap_drops_boilerplate(spark):
     )
     pairs = winnow_copy_pairs(df, min_shared=1, max_posting=2).collect()
     assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+
+
+def test_ivfpq_finds_planted_neighbors(spark):
+    """IVF-PQ with a planted near-duplicate cluster: the shortlist +
+    exact re-rank must put the planted neighbors at the top ranks with
+    sims identical to the brute-force baseline's (same cosine expr on
+    the same original vectors)."""
+    import numpy as np
+
+    from scheduler_spark.operators.similarity import ivfpq_ann_topk
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    # vectors 0..2 are jittered copies of one another
+    base[1] = base[0] + 0.01 * rng.randn(16)
+    base[2] = base[0] + 0.01 * rng.randn(16)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = ivfpq_ann_topk(
+        q, df, k=3, n_lists=4, n_probes=4, m_subspaces=4, n_codes=8,
+        shortlist=10, train_sample=40,
+    ).collect()
+    assert [r.cid for r in got][:2] == [1, 2] or [r.cid for r in got][:2] == [2, 1]
+    exact = {
+        (r.qid, r.cid): r.sim for r in brute_force_topk(q, df, k=3).collect()
+    }
+    for r in got:
+        assert exact[(r.qid, r.cid)] == r.sim
+
+
+def test_ivfpq_rejects_indivisible_subspaces(spark):
+    import pytest
+
+    from scheduler_spark.operators.similarity import ivfpq_ann_topk
+
+    df = spark.createDataFrame(
+        [(0, [0.1] * 10), (1, [0.2] * 10)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        ivfpq_ann_topk(df, df, m_subspaces=3, train_sample=2).count()

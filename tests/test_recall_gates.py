@@ -60,6 +60,28 @@ def test_ivf_topk_recall_at_bench_scale(spark):
     assert recall >= 0.85, (n_true, recall)
 
 
+def test_ivfpq_topk_recall_at_bench_scale(spark):
+    """IVF-PQ at 10× the oracle-gate corpus.  On near-isotropic
+    vectors ADC rank is only weakly correlated with true rank, so the
+    shortlist must track the per-cell candidate count: ~25% of the
+    probed corpus (500 of ~1500 candidates) measures 0.80 here against
+    the plain-IVF ceiling of 0.88 at the same 6/8 probes — the
+    remaining 0.08 is the price of ranking by 8-byte codes instead of
+    512-byte vectors.  Deterministic; pinned just under the measured
+    value."""
+    from scheduler_spark.operators.similarity import ivfpq_ann_topk
+
+    truth = q.ann_cosine_topk(spark, SF01).select("qid", "cid").cache()
+    v = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    approx = ivfpq_ann_topk(
+        v.filter(F.col("vec_id") < 5), v, k=10, n_lists=8, n_probes=6, shortlist=500
+    ).select("qid", "cid")
+    n_true, recall = _recall(truth, approx, ["qid", "cid"])
+    truth.unpersist()
+    assert n_true == 50
+    assert recall >= 0.75, (n_true, recall)
+
+
 def test_simhash_recall_at_bench_scale(spark):
     """SimHash banding must hold FULL recall at hamming<=3 (pigeonhole
     over 4x16-bit bands) on the sf0.1 documents table — the driver gate

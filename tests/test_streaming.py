@@ -160,3 +160,71 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     assert len(got) == 1
     assert got[0]["ad"] == "a"
+
+
+def test_session_window_batch_semantics(spark):
+    from scheduler_spark.streaming.ingest import session_window_counts
+
+    rows = [
+        # user 1: two bursts separated by > 30 min
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-01 00:10:00", 1),
+        ("2024-01-01 01:00:00", 1),
+        # user 2: one event
+        ("2024-01-01 00:05:00", 2),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (r.user_id, str(r.session_start)): (str(r.session_end), r.n_events)
+        for r in session_window_counts(df).collect()
+    }
+    # session end = last event + gap
+    assert got[(1, "2024-01-01 00:00:00")] == ("2024-01-01 00:40:00", 2)
+    assert got[(1, "2024-01-01 01:00:00")] == ("2024-01-01 01:30:00", 1)
+    assert got[(2, "2024-01-01 00:05:00")] == ("2024-01-01 00:35:00", 1)
+
+
+def test_session_window_streaming_drain(spark, tmp_path):
+    """AvailableNow drive: watermark-closed sessions land in the sink;
+    the session split/merge decisions match the batch twin."""
+    from pyspark.sql import types as T
+
+    from scheduler_spark.streaming.ingest import run_session_counts, session_window_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("user_id", T.LongType(), False),
+        ]
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-01 00:10:00", 1),
+        ("2024-01-01 01:00:00", 1),
+        ("2024-01-01 00:05:00", 2),
+        # a late-horizon event pushes the watermark far enough that all
+        # the sessions above are provably closed and emitted
+        ("2024-01-02 00:00:00", 99),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.mode("append").parquet(src)
+    run_session_counts(spark, src, schema, out, ckpt)
+    got = spark.read.parquet(out)
+    batch = session_window_counts(df.filter(F.col("user_id") != 99))
+    emitted = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in got.collect()
+    }
+    expected = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in batch.collect()
+    }
+    assert emitted == expected
