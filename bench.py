@@ -55,6 +55,12 @@ HEADLINE = [
     # iterative PageRank operator
     "quality_gopher_rules",
     "pagerank_entity_rank",
+    # round-3 adds (final): PQ-coded ANN, iterative BFS, and the two
+    # vocabulary-bounded text-analysis passes
+    "ann_ivfpq",
+    "graph_bfs_distances",
+    "bigram_logprob_score",
+    "token_cooccurrence_pmi",
 ]
 
 KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))

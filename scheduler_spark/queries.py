@@ -2414,6 +2414,176 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Corpus-trained bigram LM scoring — the perplexity-style quality
+# filter (CCNet, Wenzek et al. 2020 trains a LM on trusted text and
+# drops high-perplexity docs; here the corpus is its own model, which
+# is the self-consistency variant used for outlier pruning)
+# ===========================================================================
+
+@query(
+    "bigram_logprob_score",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2),
+    cb AS (SELECT gram, count(*) AS c_bi FROM bi GROUP BY gram),
+    cl AS (SELECT split_part(gram, ' ', 1) AS w1, count(*) AS c_left
+           FROM bi GROUP BY w1),
+    v AS (SELECT count(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    scored AS (
+      SELECT bi.doc_id,
+             ln((cb.c_bi + 0.5) / (cl.c_left + 0.5 * v.vocab)) AS lp
+      FROM bi
+      JOIN cb USING (gram)
+      JOIN cl ON cl.w1 = split_part(bi.gram, ' ', 1)
+      CROSS JOIN v)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under an add-k-smoothed
+    model counted from the corpus itself (k=0.5, denominator = left-
+    token bigram count + k·|V|).  Docs with <2 tokens have no bigrams
+    and drop out (inner-join semantics, both engines).
+
+    Scale shape: the bigram/left-count tables are vocabulary²-bounded,
+    not corpus-bounded, so the joins back are dim joins; the only
+    corpus-scale shuffle is the (gram) rollup, which map-side combines.
+    """
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("toks"),
+    )
+    bi = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("gram"),
+        )
+    )
+    cb = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
+    cl = (
+        bi.select(F.substring_index("gram", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_left"))
+    )
+    v = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    lp = F.log((F.col("c_bi") + 0.5) / (F.col("c_left") + 0.5 * F.col("vocab")))
+    return (
+        bi.join(F.broadcast(cb), "gram")
+        .join(
+            F.broadcast(cl),
+            F.substring_index(F.col("gram"), " ", 1) == F.col("w1"),
+        )
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+# ===========================================================================
+# Token co-occurrence PMI over the bounded top-df vocabulary — the KG
+# edge-weighting pass (how strongly two vocabulary terms attract each
+# other across documents); bounded pair space = C(50,2) regardless of
+# corpus size
+# ===========================================================================
+
+@query(
+    "token_cooccurrence_pmi",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+      FROM documents),
+    dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY token),
+    top AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 50),
+    keep AS (SELECT t.doc_id, t.token FROM toks t JOIN top USING (token)),
+    pairs AS (
+      SELECT a.token AS token_a, b.token AS token_b, count(*) AS c_ab
+      FROM keep a JOIN keep b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY a.token, b.token),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT token_a, token_b, CAST(c_ab AS BIGINT) AS c_ab,
+           round(ln((c_ab * n.n * 1.0) / (ta.df * tb.df)), 6) AS pmi
+    FROM pairs
+    JOIN top ta ON ta.token = token_a
+    JOIN top tb ON tb.token = token_b
+    CROSS JOIN n
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, token_a, token_b LIMIT 100
+    """,
+)
+def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI = ln(N·c(a,b) / (df(a)·df(b))) over document-level
+    co-occurrence, restricted to the top-50-df vocabulary so the
+    self-join pair space is C(50,2)-bounded at ANY corpus size; the
+    vocabulary is broadcast and the per-doc join fans out at most 50
+    rows per document."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.desc("df"), "token").limit(50)
+    keep = toks.join(F.broadcast(top.select("token")), "token")
+    a = keep.select("doc_id", F.col("token").alias("token_a"))
+    b = keep.select("doc_id", F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    ta = top.select(F.col("token").alias("token_a"), F.col("df").alias("df_a"))
+    tb = top.select(F.col("token").alias("token_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(ta), "token_a")
+        .join(F.broadcast(tb), "token_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token_a",
+            "token_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(F.col("c_ab") * F.col("n") * 1.0 / (F.col("df_a") * F.col("df_b"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "token_a", "token_b")
+        .limit(100)
+    )
+
+
+# ===========================================================================
 # Training-data quality suite — Gopher-style rules, repetition collapse,
 # PII redaction.  All three are SHUFFLE-FREE pure maps (array lambdas in
 # whole-stage codegen): at 100 TB the quality pass costs one scan, no
@@ -3244,6 +3414,8 @@ _PRIORITY = [
     "winnow_doc_fingerprints",
     "winnow_copy_pairs",
     "tfidf_top_terms",
+    "bigram_logprob_score",
+    "token_cooccurrence_pmi",
     # round-3 additions: quality suite + KG linking/ranking
     "quality_gopher_rules",
     "repetition_collapse",

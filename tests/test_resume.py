@@ -211,3 +211,32 @@ def test_checkpoint_has_one_row_per_partition(spark, tmp_path):
     n_repos = files.select("repo").distinct().count()
     assert ckpt.count() == n_repos
     assert ckpt.select("partition").distinct().count() == n_repos
+
+
+def test_collect_stats_one_pass_and_latest_wins(spark, tmp_path):
+    """ANALYZE analog: min/max/nulls/approx-NDV land in the snapshot
+    log; table_stats returns the LATEST analysis."""
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "b", 7.5)],
+        "id long, tag string, score double",
+    )
+    catalog.overwrite(df, "t")
+    catalog.collect_stats("t")
+    s = catalog.table_stats("t")
+    assert s["row_count"] == 3
+    assert s["columns"]["id"]["min"] == "1" and s["columns"]["id"]["max"] == "3"
+    assert s["columns"]["score"]["null_count"] == 1
+    assert s["columns"]["tag"]["approx_ndv"] == 2
+
+    catalog.append(df.limit(1), "t")
+    catalog.collect_stats("t", columns=["id"])
+    s2 = catalog.table_stats("t")
+    assert s2["row_count"] == 4
+    assert list(s2["columns"]) == ["id"]
+
+
+def test_table_stats_none_before_analyze(spark, tmp_path):
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    catalog.overwrite(spark.range(2), "t")
+    assert catalog.table_stats("t") is None
