@@ -369,6 +369,10 @@ def ivfpq_ann_topk(
             ).alias("codes"),
         )
     )
+    # LUTs are projected BEFORE the probe-cell explode so each is
+    # evaluated once per query, not once per (query × probe) row —
+    # computing the m×n_codes tables once per query is the whole point
+    # of ADC.
     q = (
         queries.select(
             F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("eq")
@@ -378,7 +382,7 @@ def ivfpq_ann_topk(
         .select(
             "qid",
             "eq",
-            F.explode(nearest(F.col("en"), coarse, n_probes)).alias("cell"),
+            nearest(F.col("en"), coarse, n_probes).alias("probe_cells"),
             *[
                 F.array(
                     *[dist2_to(cc, subvec(F.col("en"), s)) for cc in books[s].tolist()]
@@ -386,6 +390,9 @@ def ivfpq_ann_topk(
                 for s in range(m_subspaces)
             ],
         )
+        .localCheckpoint()
+        .withColumn("cell", F.explode("probe_cells"))
+        .drop("probe_cells")
     )
     adc = F.element_at(F.col("lut0"), F.element_at("codes", 1) + F.lit(1))
     for s in range(1, m_subspaces):

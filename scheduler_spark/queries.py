@@ -2486,8 +2486,12 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").alias("vocab")
     )
     lp = F.log((F.col("c_bi") + 0.5) / (F.col("c_left") + 0.5 * F.col("vocab")))
+    # cb (vocab²-sized) is deliberately NOT broadcast-hinted: at web
+    # scale the bigram table outgrows the driver, and AQE picks
+    # broadcast on its own when the actual size allows; cl and v are
+    # vocab-/scalar-sized and always safe to pin.
     return (
-        bi.join(F.broadcast(cb), "gram")
+        bi.join(cb, "gram")
         .join(
             F.broadcast(cl),
             F.substring_index(F.col("gram"), " ", 1) == F.col("w1"),
