@@ -273,3 +273,68 @@ def test_ivfpq_rejects_indivisible_subspaces(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         ivfpq_ann_topk(df, df, m_subspaces=3, train_sample=2).count()
+
+def test_pq_encode_arrow_matches_jvm(spark):
+    """The Arrow/numpy index-build encoder must produce the IDENTICAL
+    (cell, codes) assignment as the pure-JVM expression encoder — same
+    model, same normalization, same argmin tie rule (lowest id)."""
+    import numpy as np
+
+    from scheduler_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_arrow,
+        train_pq_model,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(300, 16)
+    base[5] = 0.0  # zero vector exercises the nrm==0 guard on both paths
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = train_pq_model(df, n_lists=8, m_subspaces=4, n_codes=8, train_sample=300)
+    jvm = {r.cid: (r.cell, tuple(r.codes)) for r in pq_encode(df, model).collect()}
+    arrow = {
+        r.cid: (r.cell, tuple(r.codes)) for r in pq_encode_arrow(df, model).collect()
+    }
+    assert jvm == arrow
+
+
+def test_ivfpq_prebuilt_index_matches_inline(spark):
+    """ivfpq_ann_topk over a materialized pq_encode_arrow index returns
+    the same ranking as the inline JVM-encode path (same trained model,
+    so the cell/code assignments — and therefore shortlists — agree)."""
+    import numpy as np
+
+    from scheduler_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        pq_encode_arrow,
+        train_pq_model,
+    )
+
+    rng = np.random.RandomState(13)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 5)
+    kw = dict(n_lists=4, n_probes=2, m_subspaces=4, n_codes=8, train_sample=120)
+    model = train_pq_model(df, n_lists=4, m_subspaces=4, n_codes=8, train_sample=120)
+    inline = ivfpq_ann_topk(q, df, k=5, **kw).collect()
+    prebuilt = ivfpq_ann_topk(
+        q, df, k=5, **kw, index=pq_encode_arrow(df, model), model=model
+    ).collect()
+    key = lambda r: (r.qid, r.rank)  # noqa: E731
+    assert {key(r): (r.cid, r.sim) for r in inline} == {
+        key(r): (r.cid, r.sim) for r in prebuilt
+    }
+
+
+def test_ivfpq_index_model_must_pair(spark):
+    import pytest
+
+    from scheduler_spark.operators.similarity import ivfpq_ann_topk, train_pq_model
+
+    df = spark.createDataFrame(
+        [(0, [0.1] * 8), (1, [0.2] * 8)], "vec_id long, embedding array<float>"
+    )
+    m = train_pq_model(df, n_lists=2, m_subspaces=2, n_codes=2, train_sample=2)
+    with pytest.raises(ValueError, match="both index and model"):
+        ivfpq_ann_topk(df, df, model=m)
