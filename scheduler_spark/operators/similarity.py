@@ -64,7 +64,7 @@ def _hyperplane(dim: int, plane: int):
     import numpy as np
 
     comps = np.random.RandomState(0xC0FFEE + plane).randn(dim)
-    return F.array(*[F.lit(float(c)) for c in comps])
+    return F.lit([float(c) for c in comps])
 
 
 def _bucket_signature(vec_col, dim: int, n_planes: int):
@@ -153,32 +153,12 @@ def ivf_ann_topk(
     sample = _hash_ordered_sample(corpus, id_col, vec_col, train_sample)
     cents = _lloyd_kmeans(sample, n_lists, kmeans_iters, seed)
 
-    def dist2_to(centroid: list[float], vec) -> Column:
-        c = F.array(*[F.lit(float(x)) for x in centroid])
-        return F.aggregate(
-            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def cell_ranks(vec, n: int):
-        """Array of the n nearest centroid ids for `vec`."""
-        dists = F.array(
-            *[
-                F.struct(dist2_to(c, vec).alias("d"), F.lit(j).alias("j"))
-                for j, c in enumerate(cents.tolist())
-            ]
-        )
-        return F.slice(
-            F.transform(F.array_sort(dists), lambda s: s["j"]), 1, n
-        )
-
     c = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("ec")
-    ).withColumn("cell", F.element_at(cell_ranks(F.col("ec"), 1), 1))
+    ).withColumn("cell", F.element_at(_nearest(F.col("ec"), cents, 1), 1))
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("eq")
-    ).withColumn("cell", F.explode(cell_ranks(F.col("eq"), n_probes)))
+    ).withColumn("cell", F.explode(_nearest(F.col("eq"), cents, n_probes)))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
         q.join(c, "cell")
@@ -330,25 +310,46 @@ def _norm_of(e) -> Column:
     return F.when(n == 0.0, F.lit(1.0)).otherwise(n)
 
 
-def _nearest(vec, cents, n: int):
-    """Ids of the n nearest centroids to `vec` (literal-centroid HOF
-    distances; plan size O(n_cents), evaluation interpreted)."""
+def _codebook_lit(cents) -> Column:
+    """Centroid matrix as ONE array<array<double>> Literal NODE.
 
-    def dist2_to(centroid, v) -> Column:
-        c = F.array(*[F.lit(float(x)) for x in centroid])
-        return F.aggregate(
-            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+    F.lit on the nested list folds the whole codebook into a single
+    Literal instead of n×d Literal + CreateArray nodes — with 8 lists ×
+    16 codes × 8 dims that is a ~1000-node reduction per call site, and
+    plan size (analyzer/optimizer passes, codegen setup) was measured
+    as THE cost of the quantization queries at test scale (~3 s of
+    fixed overhead per job touching such a stage)."""
+    return F.lit([[float(x) for x in c] for c in cents.tolist()])
+
+
+def _dists_to(vec, cents) -> Column:
+    """array of squared-L2 distances from `vec` to every centroid, via a
+    SINGLE transform lambda over the codebook array.  One dist2
+    expression per call site instead of one per centroid: the analyzer/
+    optimizer cost of a plan is driven by its HOF-lambda count (each
+    needs lambda-variable resolution on every rule pass over a tree
+    this size), and the per-centroid formulation put IVF-PQ's ~300
+    lambdas / ~25k nodes at ~20 s of DRIVER time per query, independent
+    of data size.  Row-side evaluation is the same interpreted flops."""
+    return F.transform(
+        _codebook_lit(cents),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-
-    dists = F.array(
-        *[
-            F.struct(dist2_to(c, vec).alias("d"), F.lit(j).alias("j"))
-            for j, c in enumerate(cents.tolist())
-        ]
+        ),
     )
-    return F.slice(F.transform(F.array_sort(dists), lambda s: s["j"]), 1, n)
+
+
+def _nearest(vec, cents, n: int):
+    """Ids of the n nearest centroids to `vec` (ties → lowest id)."""
+    k = len(cents)
+    ranked = F.zip_with(
+        _dists_to(vec, cents),
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda d, j: F.struct(d.alias("d"), j.alias("j")),
+    )
+    return F.slice(F.transform(F.array_sort(ranked), lambda s: s["j"]), 1, n)
 
 
 def pq_encode(
@@ -364,12 +365,15 @@ def pq_encode(
     distance lambdas evaluate on Catalyst's interpreted path, so
     per-row encode cost is O(n_lists·dim + m·n_codes·sub) interpreted
     flops — fine for query-side encode and small/mid corpora; for bulk
-    index builds over large corpora use pq_encode_arrow."""
+    index builds over large corpora use pq_encode_arrow.
+
+    Subvectors are projected ONCE per row before the per-code argmin:
+    embedding the slice inside each of the n_codes distance exprs would
+    re-evaluate it per centroid (m×n_codes array allocs per row), and
+    CollapseProject keeps the split because a non-cheap expression
+    referenced more than once is not inlined."""
     sub = model.sub
-
-    def subvec(e, s):
-        return F.slice(e, s * sub + 1, sub)
-
+    m = len(model.books)
     return (
         corpus.select(
             F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("ec")
@@ -378,11 +382,16 @@ def pq_encode(
         .withColumn("en", F.transform(F.col("ec"), lambda x: x / F.col("nrm")))
         .select(
             "cid",
+            "en",
+            *[F.slice("en", s * sub + 1, sub).alias(f"sv{s}") for s in range(m)],
+        )
+        .select(
+            "cid",
             F.element_at(_nearest(F.col("en"), model.coarse, 1), 1).alias("cell"),
             F.array(
                 *[
-                    F.element_at(_nearest(subvec(F.col("en"), s), model.books[s], 1), 1)
-                    for s in range(len(model.books))
+                    F.element_at(_nearest(F.col(f"sv{s}"), model.books[s], 1), 1)
+                    for s in range(m)
                 ]
             ).alias("codes"),
         )
@@ -517,20 +526,13 @@ def ivfpq_ann_topk(
     coarse, books, sub = model.coarse, model.books, model.sub
     c = index if index is not None else pq_encode(corpus, model, id_col, vec_col)
 
-    def dist2_to(centroid, vec) -> Column:
-        cc = F.array(*[F.lit(float(x)) for x in centroid])
-        return F.aggregate(
-            F.zip_with(vec, cc, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     subvec = lambda e, s: F.slice(e, s * sub + 1, sub)  # noqa: E731
 
     # LUTs are projected BEFORE the probe-cell explode so each is
     # evaluated once per query, not once per (query × probe) row —
     # computing the m×n_codes tables once per query is the whole point
-    # of ADC.
+    # of ADC.  The Generate (explode) node keeps the LUT projection a
+    # separate operator, so no checkpoint is needed to pin it.
     q = (
         queries.select(
             F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("eq")
@@ -542,13 +544,10 @@ def ivfpq_ann_topk(
             "eq",
             _nearest(F.col("en"), coarse, n_probes).alias("probe_cells"),
             *[
-                F.array(
-                    *[dist2_to(cc, subvec(F.col("en"), s)) for cc in books[s].tolist()]
-                ).alias(f"lut{s}")
+                _dists_to(subvec(F.col("en"), s), books[s]).alias(f"lut{s}")
                 for s in range(len(books))
             ],
         )
-        .localCheckpoint()
         .withColumn("cell", F.explode("probe_cells"))
         .drop("probe_cells")
     )

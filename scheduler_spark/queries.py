@@ -33,6 +33,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin rows across the session's cores.  The sf* test
+    tables are single parquet files (one scan split), which would pin
+    expression-heavy stages — the interpreted PQ/IVF encode — to ONE
+    thread; a production corpus has thousands of natural scan splits.
+    The shuffle is trivial at test scale (<1 MB) and restores the
+    parallelism the plan would have on real inputs."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def query(name: str, sql: str | None = None):
     def wrap(fn: Query) -> Query:
         _SPARK_QUERIES[name] = fn
@@ -2220,7 +2230,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_ann_topk
 
     truth = ann_cosine_topk(spark, sf_dir).select("qid", "cid")
-    v = _t(spark, sf_dir, "embeddings")
+    v = _spread(spark, _t(spark, sf_dir, "embeddings"))
     q = v.filter(F.col("vec_id") < 5)
     approx = ivf_ann_topk(q, v, k=10, n_lists=8, n_probes=6).select("qid", "cid")
     hits = truth.join(approx, ["qid", "cid"], "left_semi")
@@ -2268,7 +2278,7 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivfpq_ann_topk
 
     truth = ann_cosine_topk(spark, sf_dir).select("qid", "cid")
-    v = _t(spark, sf_dir, "embeddings")
+    v = _spread(spark, _t(spark, sf_dir, "embeddings"))
     q = v.filter(F.col("vec_id") < 5)
     approx = ivfpq_ann_topk(
         q, v, k=10, n_lists=8, n_probes=6, shortlist=150
@@ -3257,7 +3267,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, n_probes cells scanned per query)."""
     from .operators.similarity import ivf_ann_topk
 
-    v = _t(spark, sf_dir, "embeddings")
+    v = _spread(spark, _t(spark, sf_dir, "embeddings"))
     q = v.filter(F.col("vec_id") < 5)
     return ivf_ann_topk(q, v, k=10, n_lists=8, n_probes=2)
 
@@ -3268,7 +3278,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall measured by ann_ivfpq_recall."""
     from .operators.similarity import ivfpq_ann_topk
 
-    v = _t(spark, sf_dir, "embeddings")
+    v = _spread(spark, _t(spark, sf_dir, "embeddings"))
     q = v.filter(F.col("vec_id") < 5)
     return ivfpq_ann_topk(q, v, k=10, n_lists=8, n_probes=2)
 
