@@ -311,14 +311,15 @@ def _norm_of(e) -> Column:
 
 
 def _codebook_lit(cents) -> Column:
-    """Centroid matrix as ONE array<array<double>> Literal NODE.
+    """Centroid matrix as one array<array<double>> constant expression.
 
-    F.lit on the nested list folds the whole codebook into a single
-    Literal instead of n×d Literal + CreateArray nodes — with 8 lists ×
-    16 codes × 8 dims that is a ~1000-node reduction per call site, and
-    plan size (analyzer/optimizer passes, codegen setup) was measured
-    as THE cost of the quantization queries at test scale (~3 s of
-    fixed overhead per job touching such a stage)."""
+    Note: classic PySpark expands F.lit(nested_list) to
+    array(array(lit...)) pre-analysis (single-node Literal folding is a
+    Connect-path behavior), so the literal count is unchanged until
+    ConstantFolding collapses it; the measured plan-cost win of this
+    module's refactor comes from _dists_to evaluating ALL centroid
+    distances with ONE transform lambda instead of one
+    zip_with/aggregate expression per centroid."""
     return F.lit([[float(x) for x in c] for c in cents.tolist()])
 
 
@@ -364,14 +365,9 @@ def pq_encode(
     workers), which is why the driver-contract query path uses it.  The
     distance lambdas evaluate on Catalyst's interpreted path, so
     per-row encode cost is O(n_lists·dim + m·n_codes·sub) interpreted
-    flops — fine for query-side encode and small/mid corpora; for bulk
-    index builds over large corpora use pq_encode_arrow.
-
-    Subvectors are projected ONCE per row before the per-code argmin:
-    embedding the slice inside each of the n_codes distance exprs would
-    re-evaluate it per centroid (m×n_codes array allocs per row), and
-    CollapseProject keeps the split because a non-cheap expression
-    referenced more than once is not inlined."""
+    flops (the per-code slice re-evaluation rides inside that bound) —
+    fine for query-side encode and small/mid corpora; for bulk index
+    builds over large corpora use pq_encode_arrow."""
     sub = model.sub
     m = len(model.books)
     return (
@@ -382,15 +378,12 @@ def pq_encode(
         .withColumn("en", F.transform(F.col("ec"), lambda x: x / F.col("nrm")))
         .select(
             "cid",
-            "en",
-            *[F.slice("en", s * sub + 1, sub).alias(f"sv{s}") for s in range(m)],
-        )
-        .select(
-            "cid",
             F.element_at(_nearest(F.col("en"), model.coarse, 1), 1).alias("cell"),
             F.array(
                 *[
-                    F.element_at(_nearest(F.col(f"sv{s}"), model.books[s], 1), 1)
+                    F.element_at(
+                        _nearest(F.slice("en", s * sub + 1, sub), model.books[s], 1), 1
+                    )
                     for s in range(m)
                 ]
             ).alias("codes"),
@@ -415,8 +408,11 @@ def pq_encode_arrow(
     interpreted tree.  One numpy matmul per Arrow batch
     (argmin_j |v-c_j|² = argmin_j (|c_j|² - 2 v·c_j) on normalized v)
     does the same math at BLAS speed; the model rides the closure
-    (~16 KB).  Output schema and values are identical to pq_encode —
-    pinned by tests/test_dedup_similarity.py equivalence."""
+    (~16 KB).  Output schema matches pq_encode exactly; values agree
+    modulo floating-point TIES in the argmin (the two paths sum in
+    different orders, so a vector equidistant from two centroids to
+    the last ulp may land in either) — tests pin exact equality on
+    fixed-seed data where no such tie occurs."""
     import numpy as np
 
     coarse = np.asarray(model.coarse, dtype=np.float64)
@@ -551,8 +547,11 @@ def ivfpq_ann_topk(
         .withColumn("cell", F.explode("probe_cells"))
         .drop("probe_cells")
     )
+    # loop bound from the MODEL, not the m_subspaces argument: with a
+    # caller-supplied model/index the two can differ (the LUT projection
+    # above builds exactly len(books) luts).
     adc = F.element_at(F.col("lut0"), F.element_at("codes", 1) + F.lit(1))
-    for s in range(1, m_subspaces):
+    for s in range(1, len(books)):
         adc = adc + F.element_at(F.col(f"lut{s}"), F.element_at("codes", s + 1) + F.lit(1))
 
     w_short = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("cid"))

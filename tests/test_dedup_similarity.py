@@ -274,6 +274,7 @@ def test_ivfpq_rejects_indivisible_subspaces(spark):
     with pytest.raises(ValueError, match="not divisible"):
         ivfpq_ann_topk(df, df, m_subspaces=3, train_sample=2).count()
 
+
 def test_pq_encode_arrow_matches_jvm(spark):
     """The Arrow/numpy index-build encoder must produce the IDENTICAL
     (cell, codes) assignment as the pure-JVM expression encoder — same
@@ -302,7 +303,14 @@ def test_pq_encode_arrow_matches_jvm(spark):
 def test_ivfpq_prebuilt_index_matches_inline(spark):
     """ivfpq_ann_topk over a materialized pq_encode_arrow index returns
     the same ranking as the inline JVM-encode path (same trained model,
-    so the cell/code assignments — and therefore shortlists — agree)."""
+    so the cell/code assignments — and therefore shortlists — agree).
+
+    The prebuilt call deliberately does NOT re-pass the quantizer shape
+    (m_subspaces etc. stay at their defaults, which DIFFER from the
+    model's 4 subspaces): with index/model given, every structural
+    parameter must come from the model — this pinned a bug where the
+    ADC sum iterated over the m_subspaces argument and referenced
+    non-existent lut columns."""
     import numpy as np
 
     from scheduler_spark.operators.similarity import (
@@ -319,7 +327,7 @@ def test_ivfpq_prebuilt_index_matches_inline(spark):
     model = train_pq_model(df, n_lists=4, m_subspaces=4, n_codes=8, train_sample=120)
     inline = ivfpq_ann_topk(q, df, k=5, **kw).collect()
     prebuilt = ivfpq_ann_topk(
-        q, df, k=5, **kw, index=pq_encode_arrow(df, model), model=model
+        q, df, k=5, n_probes=2, index=pq_encode_arrow(df, model), model=model
     ).collect()
     key = lambda r: (r.qid, r.rank)  # noqa: E731
     assert {key(r): (r.cid, r.sim) for r in inline} == {

@@ -3,7 +3,10 @@
 Run EXCLUSIVELY (see BENCH.md preamble).  Generates N synthetic 64-d
 vectors JVM-side (deterministic hash-derived components — no Python in
 the data source), trains one PQ model, then times each encoder
-materializing the full (cid, cell, codes) index with a noop write.
+materializing the full (cid, cell, codes) index with a noop write —
+per CLAUDE.md bench rules: a full-size warm-up pass per encoder
+(absorbs Python-worker spin-up / codegen), then best of 3 timed
+trials with clearCache between.
 
     python tools/pq_encode_bench.py [N]
 """
@@ -47,10 +50,18 @@ def main() -> None:
         ("arrow", pq_encode_arrow(vecs, model)),
         ("jvm", pq_encode(vecs, model)),
     ):
-        t0 = time.perf_counter()
-        built.write.format("noop").mode("overwrite").save()
-        sec = time.perf_counter() - t0
-        print(f"{label}: {sec:.2f}s  ({n / sec:,.0f} rows/s)")
+        built.write.format("noop").mode("overwrite").save()  # warm-up
+        trials = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            built.write.format("noop").mode("overwrite").save()
+            trials.append(time.perf_counter() - t0)
+        sec = min(trials)
+        print(
+            f"{label}: {sec:.2f}s  ({n / sec:,.0f} rows/s)  "
+            f"trials={[round(t, 2) for t in trials]}"
+        )
     spark.stop()
 
 
