@@ -525,15 +525,22 @@ class Catalog:
         At 100 TB these stats are what makes join-side choice and
         partition pruning cheap — Iceberg keeps them per data file;
         here they land in the snapshot log as the table-level rollup.
-        Numeric/timestamp min/max are stored as ISO/plain strings (the
-        log is JSON).
+        min/max aggregate on the NATIVE column type (numeric bounds,
+        not lexicographic — min of [9, 10] must be 9, not "10") and
+        only the aggregated result is cast to string for JSON storage.
         """
+        from pyspark.sql.types import MapType
+
         df = self.read(name)
         cols = columns or [f.name for f in df.schema.fields]
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
         aggs = [F.count(F.lit(1)).alias("_rows")]
         for c in cols:
-            aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__min"))
-            aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__max"))
+            # maps are the one unorderable type — their "bounds" stay
+            # lexicographic-on-string (documented, not range-meaningful)
+            src = F.col(c).cast("string") if isinstance(dtypes.get(c), MapType) else F.col(c)
+            aggs.append(F.min(src).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(src).cast("string").alias(f"{c}__max"))
             aggs.append(
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls")
             )

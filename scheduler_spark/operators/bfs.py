@@ -2,8 +2,8 @@
 
 KG consumers ask "what is within k hops of these entities?" constantly
 (neighborhood expansion for context retrieval, blast-radius queries on
-the release graph — the reference materializes the 3-hop SPARQL chain
-for exactly this, /root/reference/userCode/lib/graph.py sparql paths).
+the release graph — the reference pins the 3-hop SPARQL chain for
+exactly this, /root/reference/userCode/defs_test.py:104-116).
 This operator generalizes that to true shortest-path distances from a
 seed set, as a pure DataFrame frontier loop:
 

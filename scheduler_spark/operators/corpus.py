@@ -139,8 +139,11 @@ def prepare_training_corpus(
     n_near_dups = uniques.count() - final.count()
 
     # same multiplicative-hash carve the train_val_split oracle pins
+    # (pre-mod keeps the product inside BIGINT for any doc_id)
     split = F.when(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)) < train_pct, "train"
+        F.pmod(F.pmod("doc_id", F.lit(9999991)) * F.lit(2654435761), F.lit(100))
+        < train_pct,
+        "train",
     ).otherwise("val")
     w_pack = (
         Window.partitionBy("split", "source")

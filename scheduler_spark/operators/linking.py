@@ -175,3 +175,61 @@ def lsh_candidate_pairs(
         "src_entity", "dst_entity", F.col("score").cast("double"), F.lit("lsh").alias("method")
     )
     return enforce(out, EDGES)
+
+
+def delete_variants(col):
+    """``{s} ∪ {s with one character deleted}`` as a distinct array.
+
+    The symmetric-delete neighborhood (the public SymSpell / FastSS
+    spelling-correction construction): two strings are at Levenshtein
+    distance ≤ 1 **iff** their delete-1 neighborhoods intersect —
+    a substitution at position i maps both strings to the same
+    deletion, an insertion/deletion maps the longer string onto the
+    shorter one itself, and equality is the identity member.  Pure
+    column expressions (transform over sequence) — codegen'd, no
+    Python workers.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.length(c)),
+            lambda i: F.when(i == F.lit(0), c).otherwise(
+                F.concat(
+                    F.substr(c, F.lit(1), i - 1),
+                    F.substr(c, i + 1, F.length(c)),
+                )
+            ),
+        )
+    )
+
+
+def fuzzy_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Exact candidate generation for edit-distance-≤1 linking via a
+    delete-variant equi-join — the scale-safe replacement for coarse
+    attribute blocking.
+
+    Why this survives 100 TB: the join key is the variant STRING, so
+    key cardinality is ≈ vocabulary × average length (millions of
+    blocks, not 26), and each block is alphabet-bounded — a variant of
+    length L has at most 26·(L+1) one-insertion pre-images plus itself,
+    independent of corpus size.  A last-character block key by contrast
+    has 26 values ⇒ O(V²/26) verify pairs on a skewed shuffle.
+    Candidates are a guaranteed SUPERSET of all distance-≤1 pairs
+    (exactness of the symmetric-delete construction), so the verify
+    filter downstream decides membership and recall is 1.0 by
+    construction — no posting cap needed, nothing shed.
+
+    Returns distinct (left_col, right_col) candidate pairs.
+    """
+    lv = left.select(
+        left_col, F.explode(delete_variants(left_col)).alias("vkey")
+    )
+    rv = right.select(
+        right_col, F.explode(delete_variants(right_col)).alias("vkey")
+    )
+    return lv.join(rv, "vkey").select(left_col, right_col).distinct()

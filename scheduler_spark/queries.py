@@ -1265,7 +1265,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train_val_split",
     """
     SELECT source,
-           CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+           CASE WHEN ((doc_id % 9999991) * 2654435761) % 100 < 90 THEN 'train' ELSE 'val' END AS split,
            CAST(count(*) AS BIGINT) AS n
     FROM documents GROUP BY 1, 2
     """,
@@ -1274,10 +1274,14 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/10 train/val assignment by multiplicative hash
     of the stable doc id — reproducible on any cluster layout, no RNG
     state, rebalance-safe (a doc's split never changes as the corpus
-    grows, unlike randomSplit)."""
+    grows, unlike randomSplit).  The id is reduced mod 9999991 BEFORE
+    the Knuth multiplier so the product stays within BIGINT for any
+    doc_id (the bare product overflows past doc_id ≈ 3.5e9 — runtime
+    error under ANSI mode, engine-divergent wraparound otherwise)."""
     d = _t(spark, sf_dir, "documents")
     split = F.when(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(100)) < 90, "train"
+        F.pmod(F.pmod("doc_id", F.lit(9999991)) * F.lit(2654435761), F.lit(100)) < 90,
+        "train",
     ).otherwise("val")
     return d.groupBy("source", split.alias("split")).agg(
         F.count(F.lit(1)).alias("n")
@@ -1986,7 +1990,7 @@ _MIX_WEIGHT_SQL = """
     WITH w AS (
       SELECT doc_id, source,
              CAST(floor({_MIX_WEIGHT_SQL}) AS BIGINT)
-             + CASE WHEN (doc_id * 2654435761) % 1000
+             + CASE WHEN ((doc_id % 9999991) * 2654435761) % 1000
                          < CAST(round(({_MIX_WEIGHT_SQL} - floor({_MIX_WEIGHT_SQL})) * 1000)
                                 AS BIGINT)
                     THEN 1 ELSE 0 END AS n_copies
@@ -2007,7 +2011,10 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("source").isin("src2", "src3"), F.lit(0.25))
         .otherwise(F.lit(1.0))
     )
-    frac_kept = (F.col("doc_id") * F.lit(2654435761)) % 1000 < F.round(
+    # pre-mod before the Knuth multiplier: overflow-safe for any BIGINT
+    # doc_id (the bare product wraps past doc_id ≈ 3.5e9), identical
+    # values below the modulus so the carve is unchanged at test scale
+    frac_kept = (F.pmod("doc_id", F.lit(9999991)) * F.lit(2654435761)) % 1000 < F.round(
         (w - F.floor(w)) * 1000
     ).cast("long")
     n_copies = (
@@ -2404,8 +2411,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
+    # dfreq is vocabulary-sized, which is UNBOUNDED on a code corpus
+    # (identifiers/hashes) — no broadcast hint; AQE picks broadcast by
+    # the actual runtime size, and falls back to shuffle when the vocab
+    # outgrows the driver.  Only the scalar n stays pinned.
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -2496,14 +2507,16 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").alias("vocab")
     )
     lp = F.log((F.col("c_bi") + 0.5) / (F.col("c_left") + 0.5 * F.col("vocab")))
-    # cb (vocab²-sized) is deliberately NOT broadcast-hinted: at web
-    # scale the bigram table outgrows the driver, and AQE picks
-    # broadcast on its own when the actual size allows; cl and v are
-    # vocab-/scalar-sized and always safe to pin.
+    # cb (vocab²-sized) and cl (vocab-sized) are deliberately NOT
+    # broadcast-hinted: a web corpus's unigram vocabulary is as
+    # unbounded as its bigrams (numbers, hashes, identifiers), so a
+    # pinned broadcast of either is a driver-OOM hazard at scale.  AQE
+    # picks broadcast on its own when the actual size allows; only the
+    # scalar v is always safe to pin.
     return (
         bi.join(cb, "gram")
         .join(
-            F.broadcast(cl),
+            cl,
             F.substring_index(F.col("gram"), " ", 1) == F.col("w1"),
         )
         .crossJoin(F.broadcast(v))
@@ -2761,6 +2774,22 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mentions vs clean vocabulary) and PageRank entity importance
 # ===========================================================================
 
+def _fuzzy_vocab_mentions(spark: SparkSession, sf_dir: str):
+    """Shared vocab/mention construction for the fuzzy-linking family."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = d.select(
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0))
+        ).alias("entity")
+    ).distinct()
+    mentions = (
+        vocab.filter(F.length("entity") > 3)
+        .select(F.expr("substr(entity, 2)").alias("mention"))
+        .distinct()
+    )
+    return vocab, mentions
+
+
 @query(
     "entity_fuzzy_match",
     """
@@ -2780,36 +2809,100 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entity_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity linking: deterministically typo-injected mentions
     (first char dropped) matched to the clean vocabulary at edit
-    distance ≤ 1, blocked on (last char, ±1 length band).  The block
-    key is an EQUI-join (suffix blocking survives prefix typos) — at
-    100 TB this shuffles on the tiny block key, never crossJoins;
-    levenshtein only runs inside blocks.  Mirrors the reference's
+    distance ≤ 1, with last-char + ±1-length agreement as the match
+    contract.  Candidate generation is a symmetric-delete (public
+    SymSpell/FastSS construction) EQUI-join on the delete-1 variant
+    string (operators.linking.fuzzy_candidates): key cardinality is
+    ≈ vocabulary × average length with alphabet-bounded block sizes,
+    so the levenshtein verify stage is O(V·L·26) at any corpus size —
+    never the O(V²/26) skewed shuffle of a 26-value last-char block.
+    The delete-neighborhood intersection is EXACT for distance ≤ 1,
+    so results (and the declarative oracle, which keeps the last-char
+    + length-band + lev contract) are byte-identical to the naive
+    blocking — the block key is an execution strategy, not a
+    semantics knob.  Block-size distribution and candidate volume are
+    measured by the `fuzzy_block_stats` gate.  Mirrors the reference's
     name-normalized linking (userCode/lib/containers.py:152-157) with
     an approximate-string stage on top."""
-    d = _t(spark, sf_dir, "documents")
-    vocab = d.select(
-        F.explode(
-            F.array_distinct(F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0))
-        ).alias("entity")
-    ).distinct()
-    mentions = (
-        vocab.filter(F.length("entity") > 3)
-        .select(F.expr("substr(entity, 2)").alias("mention"))
-        .distinct()
-    )
+    from .operators.linking import fuzzy_candidates
+
+    vocab, mentions = _fuzzy_vocab_mentions(spark, sf_dir)
     lastchar = lambda c: F.substr(c, F.length(c), F.lit(1))  # noqa: E731
-    joined = mentions.join(
-        vocab,
-        (lastchar(F.col("mention")) == lastchar(F.col("entity")))
-        & (
-            F.abs(F.length("mention") - F.length("entity")) <= 1
-        ),
+    cand = fuzzy_candidates(mentions, vocab, "mention", "entity")
+    return (
+        cand.filter(
+            (lastchar(F.col("mention")) == lastchar(F.col("entity")))
+            & (F.abs(F.length("mention") - F.length("entity")) <= 1)
+            & (F.levenshtein("mention", "entity") <= 1)
+        )
+        .select(
+            "mention",
+            "entity",
+            F.levenshtein("mention", "entity").cast("long").alias("dist"),
+        )
     )
-    return joined.filter(F.levenshtein("mention", "entity") <= 1).select(
-        "mention",
-        "entity",
-        F.levenshtein("mention", "entity").cast("long").alias("dist"),
+
+
+_DELETE_VARIANTS_SQL = """list_distinct(list_transform(range(0, len({c}) + 1),
+          i -> CASE WHEN i = 0 THEN {c}
+                    ELSE substr({c}, 1, CAST(i - 1 AS INTEGER))
+                         || substr({c}, CAST(i + 1 AS INTEGER), len({c})) END))"""
+
+
+@query(
+    "fuzzy_block_stats",
+    f"""
+    WITH vocab AS (SELECT DISTINCT
+                     unnest(regexp_extract_all(lower(text), '[a-z]+')) AS entity
+                   FROM documents),
+    mentions AS (SELECT DISTINCT substr(entity, 2) AS mention
+                 FROM vocab WHERE len(entity) > 3),
+    vv AS (SELECT unnest({_DELETE_VARIANTS_SQL.format(c='entity')}) AS vkey FROM vocab),
+    mv AS (SELECT unnest({_DELETE_VARIANTS_SQL.format(c='mention')}) AS vkey FROM mentions),
+    ve AS (SELECT vkey, count(*) AS ne FROM vv GROUP BY vkey),
+    me AS (SELECT vkey, count(*) AS nm FROM mv GROUP BY vkey),
+    j AS (SELECT nm * ne AS c FROM ve JOIN me USING (vkey))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ve) AS n_entity_blocks,
+           (SELECT CAST(max(ne) AS BIGINT) FROM ve) AS max_entity_block,
+           (SELECT round(avg(ne), 6) FROM ve) AS avg_entity_block,
+           (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM j) AS candidate_pairs
+    """,
+)
+def fuzzy_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured block-size distribution of the symmetric-delete
+    blocking behind `entity_fuzzy_match` (the `bucket_cap_stats`
+    pattern: scale claims as numbers, not prose).  One row —
+    number of entity-side blocks (delete-variant keys), the largest
+    and mean block, and the total candidate-pair volume the verify
+    stage actually sees (Σ over keys of |mentions| × |entities|).
+    At sf0.01 max_entity_block is single-digit-ish vs a 26-key
+    last-char scheme whose largest block held ~vocab/26 entries —
+    the quantified argument that the verify stage stays linear in
+    vocabulary at 100 TB."""
+    from .operators.linking import delete_variants
+
+    vocab, mentions = _fuzzy_vocab_mentions(spark, sf_dir)
+    ve = (
+        vocab.select(F.explode(delete_variants(F.col("entity"))).alias("vkey"))
+        .groupBy("vkey")
+        .agg(F.count(F.lit(1)).alias("ne"))
     )
+    me = (
+        mentions.select(F.explode(delete_variants(F.col("mention"))).alias("vkey"))
+        .groupBy("vkey")
+        .agg(F.count(F.lit(1)).alias("nm"))
+    )
+    vstats = ve.agg(
+        F.count(F.lit(1)).cast("long").alias("n_entity_blocks"),
+        F.max("ne").cast("long").alias("max_entity_block"),
+        F.round(F.avg("ne"), 6).alias("avg_entity_block"),
+    )
+    cand = ve.join(me, "vkey").agg(
+        F.coalesce(F.sum(F.col("nm") * F.col("ne")), F.lit(0))
+        .cast("long")
+        .alias("candidate_pairs")
+    )
+    return vstats.crossJoin(cand)
 
 
 @query(

@@ -163,12 +163,14 @@ def test_quality_pass_is_shuffle_free(spark, sf_dir):
 
 
 def test_fuzzy_match_blocks_with_equi_join(spark, sf_dir):
-    """Suffix-blocked edit-distance linking must plan as an equi-join
-    on the block key (hash or broadcast), never a cross product —
-    levenshtein runs only inside blocks."""
+    """Symmetric-delete edit-distance linking must plan as an equi-join
+    on the HIGH-CARDINALITY delete-variant key (vkey — vocabulary ×
+    length values, not a 26-value attribute block), never a cross
+    product — levenshtein runs only on variant-collision candidates."""
     plan = _plan(q.all_queries()["entity_fuzzy_match"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "vkey" in plan, plan  # the join key is the variant string
 
 
 def test_triangle_count_uses_equi_joins(spark, sf_dir):

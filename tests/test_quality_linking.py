@@ -85,6 +85,59 @@ def test_entity_fuzzy_match_exact(spark, tmp_path):
     }
 
 
+def test_delete_variants_exact(spark):
+    from scheduler_spark.operators.linking import delete_variants
+
+    import pyspark.sql.functions as F
+
+    row = (
+        spark.createDataFrame([("abc",), ("a",)], "s string")
+        .select("s", delete_variants(F.col("s")).alias("v"))
+        .collect()
+    )
+    got = {r["s"]: set(r["v"]) for r in row}
+    assert got["abc"] == {"abc", "bc", "ac", "ab"}
+    assert got["a"] == {"a", ""}
+
+
+def test_fuzzy_candidates_complete_for_mid_substitution(spark, tmp_path):
+    """The case ANY q-gram/suffix blocking misses: a length-3 mention
+    vs a length-3 entity differing by a MIDDLE substitution ('abc' vs
+    'axc') shares no character bigram, but the symmetric-delete
+    neighborhoods intersect at 'ac' — the pair must be found, with
+    results identical to the declarative last-char/band/lev contract."""
+    sf = _docs_dir(spark, tmp_path, ["xabc axc"])
+    got = {
+        (r["mention"], r["entity"], r["dist"])
+        for r in Q.entity_fuzzy_match(spark, sf).collect()
+    }
+    assert got == {("abc", "axc", 1), ("abc", "xabc", 1)}
+
+
+def test_fuzzy_candidates_superset_of_brute_force(spark, tmp_path):
+    """Symmetric-delete candidate generation must be a superset of all
+    distance-≤1 pairs (exactness of the construction) on a vocabulary
+    exercising equality, substitution, insertion, and deletion."""
+    from pyspark.sql import functions as F
+
+    from scheduler_spark.operators.linking import fuzzy_candidates
+
+    words = ["park", "spark", "lark", "pork", "parks", "ark", "axc", "abc", "ab"]
+    left = spark.createDataFrame([(w,) for w in words], "mention string")
+    right = spark.createDataFrame([(w,) for w in words], "entity string")
+    cand = {
+        (r["mention"], r["entity"])
+        for r in fuzzy_candidates(left, right, "mention", "entity").collect()
+    }
+    truth = {
+        (r["mention"], r["entity"])
+        for r in left.crossJoin(right)
+        .filter(F.levenshtein("mention", "entity") <= 1)
+        .collect()
+    }
+    assert truth <= cand
+
+
 # ---------------------------------------------------------------------------
 # pagerank operator
 # ---------------------------------------------------------------------------

@@ -236,6 +236,27 @@ def test_collect_stats_one_pass_and_latest_wins(spark, tmp_path):
     assert list(s2["columns"]) == ["id"]
 
 
+def test_collect_stats_numeric_bounds_not_lexicographic(spark, tmp_path):
+    """min/max must aggregate on the NATIVE type: over ids [9, 10, 100]
+    the numeric bounds are 9/100, while a string-cast aggregate would
+    report "10"/"9".  Same for negative doubles and timestamps."""
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    df = spark.sql(
+        "SELECT * FROM VALUES (9, -2.5, timestamp'2024-02-01 00:00:00'),"
+        " (10, 0.5, timestamp'2024-10-01 00:00:00'),"
+        " (100, -10.0, timestamp'2024-09-01 00:00:00')"
+        " AS t(id, score, ts)"
+    )
+    catalog.overwrite(df, "t")
+    catalog.collect_stats("t")
+    s = catalog.table_stats("t")
+    assert s["columns"]["id"]["min"] == "9" and s["columns"]["id"]["max"] == "100"
+    assert s["columns"]["score"]["min"] == "-10.0"
+    assert s["columns"]["score"]["max"] == "0.5"
+    assert s["columns"]["ts"]["min"].startswith("2024-02-01")
+    assert s["columns"]["ts"]["max"].startswith("2024-10-01")
+
+
 def test_table_stats_none_before_analyze(spark, tmp_path):
     catalog = Catalog(root=str(tmp_path), spark=spark)
     catalog.overwrite(spark.range(2), "t")
