@@ -189,3 +189,63 @@ def prepare_training_corpus(
         n_val=n_val,
         snapshot_id=snapshot_id,
     )
+
+
+def char_grams(text_col, n: int = 20):
+    """Distinct overlapping character n-grams as a column expression
+    (the contamination unit: a shared n-gram means verbatim overlap).
+    Short texts yield their whole (padded-by-truncation) prefix once."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(c) - n, F.lit(0))),
+            lambda i: F.substr(c, i + 1, F.lit(n)),
+        )
+    )
+
+
+def contamination_gram_hits(
+    base: DataFrame,
+    gram_col: str = "s",
+    limit: int = 100,
+) -> DataFrame:
+    """Train/eval contamination audit, the 100 TB shape: explode the
+    distinct grams and equi-join eval grams to train grams on
+    (source, gram), instead of carrying full gram ARRAYS of every doc
+    pair through a per-source join and intersecting per pair.
+
+    `base` must carry (doc_id, source, is_eval, <gram_col>=array<string>).
+
+    Why this scales where the pair-intersect does not: the join key is
+    the literal gram — cardinality ≈ corpus bytes, so the shuffle is
+    wide but flat, and a source with E eval + T train docs costs
+    Σ_gram |eval postings|·|train postings| instead of E·T full-array
+    intersections.  Hot boilerplate grams are exactly the skewed-key
+    case AQE skew-join splitting handles (tests/test_skew.py); a
+    deterministic posting cap (dedup.winnow_copy_pairs pattern) can
+    shed them when boilerplate dominates, at the cost of deviating
+    from the exact contract.
+
+    Exact equivalence to the pair-intersect contract: a pair shares
+    ≥1 gram iff the exploded join emits ≥1 row for it, and the final
+    count_distinct(train_doc_id) collapses multiplicity — pinned by
+    tests/test_contamination.py at sf0.01 and by the unchanged
+    contamination_check oracle row.
+    """
+    ev = base.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"),
+        "source",
+        F.explode(gram_col).alias("gram"),
+    )
+    tr = base.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc_id"),
+        "source",
+        F.explode(gram_col).alias("gram"),
+    )
+    hits = ev.join(tr, ["source", "gram"])
+    return (
+        hits.groupBy("eval_doc_id")
+        .agg(F.countDistinct("train_doc_id").cast("long").alias("n_train_hits"))
+        .orderBy(F.desc("n_train_hits"), "eval_doc_id")
+        .limit(limit)
+    )

@@ -1,0 +1,94 @@
+"""Degree-ordered triangle counting — the web-scale wedge join.
+
+Triangle count is the KG clustering-coefficient primitive (the graph
+QA companion to the 3-hop chain the reference pins,
+/root/reference/userCode/defs_test.py:104-116).  The standard
+distributed algorithm enumerates each triangle exactly once by
+orienting every undirected edge along a total order and joining
+wedges; the choice of order is the whole scale story:
+
+- ordered by NODE ID, a celebrity node with degree D contributes up to
+  C(D, 2) wedges — a single mega-entity (the mega-repo shape,
+  FIXTURES.md F6) makes one join key quadratic.
+- ordered by (DEGREE, id) — edges point from the lower-degree endpoint
+  to the higher — every node's oriented out-degree is bounded by
+  O(√m) on any graph (a node of degree d > √m can only point to
+  nodes of degree ≥ d, and there are < 2m/d ≤ 2√m of those), so
+  wedge volume is O(m^{3/2}) worst-case and hubs sit on the closing
+  (probe) side of the join, never the wedge-generating side.
+
+Both orientations are pure DataFrame equi-joins (shuffle on node ids,
+never a cross product); the count is orientation-invariant, which the
+equivalence test pins (tests/test_triangles.py) and the
+kg_triangle_count oracle keeps checkable with the simpler id-ordered
+SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _oriented_by_degree(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list → edges oriented low→high along the
+    (degree, id) total order, carrying the destination's order key.
+
+    Output: (u, v, dv) with rank(u) < rank(v), one row per undirected
+    edge; dv = degree of v (for wedge-side ordering downstream)."""
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")
+        )
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    return (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .filter(F.struct("du", "u") < F.struct("dv", "v"))
+        .select("u", "v", "dv")
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src_entity", dst: str = "dst_entity"
+) -> DataFrame:
+    """One-row DataFrame (n_triangles BIGINT): degree-ordered wedge
+    enumeration.  Wedges (u;v,w) are generated from each node's
+    oriented out-neighborhood (bounded O(√m) by the orientation) and
+    closed by an equi-join against the oriented edge (v,w)."""
+    o = _oriented_by_degree(edges, src, dst)
+    e1 = o.select(F.col("u").alias("a"), F.col("v").alias("b"), F.col("dv").alias("db"))
+    e2 = o.select(F.col("u").alias("a"), F.col("v").alias("c"), F.col("dv").alias("dc"))
+    wedges = e1.join(e2, "a").filter(F.struct("db", "b") < F.struct("dc", "c"))
+    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    return wedges.join(closing, ["b", "c"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def triangle_count_id_ordered(
+    edges: DataFrame, src: str = "src_entity", dst: str = "dst_entity"
+) -> DataFrame:
+    """The id-ordered variant (the oracle's declarative shape) — kept
+    as the equivalence yardstick; quadratic on celebrity nodes."""
+    pairs = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .distinct()
+    )
+    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

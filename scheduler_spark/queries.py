@@ -2965,27 +2965,19 @@ def pagerank_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the undirected entity graph — the KG
-    clustering-coefficient primitive.  Ordered-wedge enumeration
-    (a<b<c canonical edges, two equi-joins) — the standard distributed
-    algorithm: each triangle is counted exactly once, joins shuffle on
-    node ids, never a cross product.  Production refinement at web
-    scale orders by degree instead of id so high-degree hubs sit on
-    the closing (cheap) side of the wedge join."""
-    pairs = (
-        _order_graph_edges(spark, sf_dir, src="_u", dst="_v")
-        .filter(F.col("_u") != F.col("_v"))
-        .select(
-            F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
-        )
-        .distinct()
-    )
-    e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    return (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    clustering-coefficient primitive.  The EXECUTED path is the
+    DEGREE-ordered wedge join (operators.triangles.triangle_count):
+    edges oriented from the lower-degree endpoint bound every node's
+    oriented out-degree by O(√m), so wedge volume is O(m^1.5)
+    worst-case and celebrity entities never generate quadratic wedge
+    keys.  The count is orientation-invariant, so the simpler
+    id-ordered SQL stays the oracle, and
+    tests/test_triangles.py pins the two shapes equal (incl. on a
+    hub-skewed graph)."""
+    from .operators.triangles import triangle_count
+
+    return triangle_count(
+        _order_graph_edges(spark, sf_dir, src="_u", dst="_v"), src="_u", dst="_v"
     )
 
 
@@ -3005,6 +2997,44 @@ def stratified_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
     d = _t(spark, sf_dir, "documents")
     bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
     return d.filter(bucket < "34").select("doc_id", "source")
+
+
+def _contamination_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, is_eval, s=distinct 20-grams) — the shared
+    input of both contamination shapes (md5-carved eval split)."""
+    from .operators.corpus import char_grams
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+            < "34"
+        ).alias("is_eval"),
+        char_grams("text", 20).alias("s"),
+    )
+
+
+def _contamination_pairwise(base: DataFrame) -> DataFrame:
+    """The per-source pair-intersect shape — the oracle contract and
+    the equivalence yardstick for the gram-equi-join operator.
+    Quadratic within source with full gram arrays on both join sides:
+    fine at gate scale, NOT the production path (see
+    operators.corpus.contamination_gram_hits)."""
+    ev = base.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"), "source", F.col("s").alias("se")
+    )
+    tr = base.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc_id"), "source", F.col("s").alias("st")
+    )
+    hits = ev.join(tr, "source").filter(F.size(F.array_intersect("se", "st")) > 0)
+    return (
+        hits.groupBy("eval_doc_id")
+        .agg(F.countDistinct("train_doc_id").cast("long").alias("n_train_hits"))
+        .orderBy(F.desc("n_train_hits"), "eval_doc_id")
+        .limit(100)
+    )
 
 
 @query(
@@ -3031,37 +3061,19 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval contamination detection — eval docs sharing any
     20-char gram with a train doc (per source), the overlap audit run
     before training on a corpus that also sources benchmarks.  The
-    split reuses the deterministic md5 carve; blocking on source keeps
-    the check an equi-join + array_intersect, never a full cross
-    product.  At 100 TB the same shape runs as explode(gram) →
-    gram-equi-join (shuffle on gram) instead of the per-pair
-    intersect; this bounded variant is the oracle-checkable contract."""
-    d = _t(spark, sf_dir, "documents")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.length("text") - 20, F.lit(0))),
-            lambda i: F.substr(F.col("text"), i + 1, F.lit(20)),
-        )
-    )
-    base = d.select(
-        "doc_id",
-        "source",
-        (F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2) < "34").alias("is_eval"),
-        grams.alias("s"),
-    )
-    ev = base.filter(F.col("is_eval")).select(
-        F.col("doc_id").alias("eval_doc_id"), "source", F.col("s").alias("se")
-    )
-    tr = base.filter(~F.col("is_eval")).select(
-        F.col("doc_id").alias("train_doc_id"), "source", F.col("s").alias("st")
-    )
-    hits = ev.join(tr, "source").filter(F.size(F.array_intersect("se", "st")) > 0)
-    return (
-        hits.groupBy("eval_doc_id")
-        .agg(F.countDistinct("train_doc_id").cast("long").alias("n_train_hits"))
-        .orderBy(F.desc("n_train_hits"), "eval_doc_id")
-        .limit(100)
-    )
+    split reuses the deterministic md5 carve.
+
+    The EXECUTED path is the scale shape
+    (operators.corpus.contamination_gram_hits): explode(gram) →
+    equi-join on (source, gram) → count_distinct rollup — Σ posting
+    products instead of E·T full-array intersections per source.  The
+    per-source pair-intersect remains the declarative oracle contract
+    (and `_contamination_pairwise` its Spark mirror); exact
+    equivalence of the two shapes is pinned by
+    tests/test_contamination.py and by this unchanged oracle row."""
+    from .operators.corpus import contamination_gram_hits
+
+    return contamination_gram_hits(_contamination_base(spark, sf_dir))
 
 
 # winnowing (rolling-hash fingerprinting) — shared constants with the
@@ -3471,14 +3483,30 @@ _ROWS_ONLY: dict[str, Query] = {
 
 
 # Driver-window priority. The correctness gate verifies entries in
-# iteration order and truncates at ~50 (CORRECTNESS_r02.json is exactly
-# the first 50 of registration order), so the entries that have never
-# had an official green row lead: recall gates, KG goldens, the CC
-# oracle, the dedup/ANN family and the training-data ops.  The trailing
-# entries are the long-green relational gates — every one of them has a
-# full rows+schema+hash pass in CORRECTNESS_r02.json, so a round-3
-# window that starts with the tail completes the official evidence.
+# iteration order and truncates at ~50, so round 4 leads with (a) the
+# six rows-only scale paths — ann_ivfpq was the ONE registered entry
+# with no official driver row through r03 (registry position 52), so it
+# goes FIRST — (b) the new/changed round-4 entries, then (c) the recall
+# gates + KG goldens for fresh official rows.  Everything below
+# position ~50 already has a green row in CORRECTNESS_r01-r03 and a
+# replica pass; the tail order keeps that archive stable.
 _PRIORITY = [
+    # rows-only scale paths — ann_ivfpq first (never had a driver row)
+    "ann_ivfpq",
+    "ann_ivf",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "ann_lsh_bucketed",
+    # round-4 new + changed entries (need fresh official rows)
+    "fuzzy_block_stats",
+    "entity_fuzzy_match",
+    "contamination_check",
+    "kg_triangle_count",
+    "train_val_split",
+    "corpus_mix_weights",
+    "tfidf_top_terms",
+    "bigram_logprob_score",
     # approximate-path recall gates (measured, oracle-recomputed truth)
     "dedup_minhash_lsh_recall",
     "ann_ivf_recall",
@@ -3500,7 +3528,6 @@ _PRIORITY = [
     "dedup_embedding_cosine",
     "ann_cosine_topk",
     # training-data ops
-    "train_val_split",
     "sequence_packing",
     "interval_join_click_purchase",
     "group_percentiles",
@@ -3510,33 +3537,20 @@ _PRIORITY = [
     "token_counts",
     "url_normalize_canonical",
     "domain_blocklist_filter",
-    "corpus_mix_weights",
     "suffix_artifact_filter",
     "log_severity_rollup",
     "scan_pushdown_projection",
     "smj_large_join",
     "vocab_doc_frequency",
     "stratified_sample_deterministic",
-    "contamination_check",
     "winnow_doc_fingerprints",
     "winnow_copy_pairs",
-    "tfidf_top_terms",
-    "bigram_logprob_score",
     "token_cooccurrence_pmi",
-    # round-3 additions: quality suite + KG linking/ranking
+    # round-3 quality suite + KG linking/ranking (r03-green)
     "quality_gopher_rules",
     "repetition_collapse",
     "pii_redaction",
-    "entity_fuzzy_match",
     "pagerank_entity_rank",
-    "kg_triangle_count",
-    # rows-only scale paths (weaker driver check, still recorded)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "ann_ivfpq",
     # flagship relational gates (r02-green; re-verified inside the window)
     "q1_pricing_summary",
     "q3_shipping_priority",
