@@ -3283,7 +3283,12 @@ def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.extract import with_content_sha
     from .synth import alias_df, synth_files
 
-    files = with_content_sha(synth_files(spark, n_files=500))
+    # Materialize the synthetic corpus before extraction — in production
+    # the corpus is a table on disk, and fusing the generator expression
+    # into the extraction regexps duplicates its tree per consumer (the
+    # round-3 codegen-compile fallbacks all traced here).  files and
+    # mentions are each consumed by multiple downstream branches.
+    files = with_content_sha(synth_files(spark, n_files=500)).localCheckpoint()
     mentions = extract_mentions_relational(files)
     linked = link_by_alias(mentions, alias_df(spark))
     ident = mentions.filter(F.col("kind") == "identifier")

@@ -115,14 +115,22 @@ def _base_columns(file_id: Column, n_repos: int, mega_pct: int) -> dict[str, Col
     py_form = _pick(file_id, "pyform", 2)  # 0 or 1
 
     def alias_for(ent: Column, stream: str) -> Column:
+        # Single-occurrence construction: the 20-literal name lookup
+        # appears ONCE, wrapped by tiny per-lang literal fragments.
+        # Duplicating it per CASE branch (the old shape) ballooned the
+        # expression tree ~10x and pushed fused downstream stages past
+        # janino's 64 KB method limit (whole-stage codegen fallback).
         names = _arr([_entity_name(k) for k in range(ENTITY_COUNT)])
         name = F.element_at(names, ent + 1)
-        return (
-            F.when(lang == "python",
-                   F.when(py_form == 0, name).otherwise(F.concat(name, F.lit(".core"))))
-            .when(lang == "go", F.concat(F.lit("example.com/"), name))
-            .otherwise(F.concat(F.lit("org.example."), name))
+        prefix = (
+            F.when(lang == "go", F.lit("example.com/"))
+            .when(lang == "java", F.lit("org.example."))
+            .otherwise(F.lit(""))
         )
+        suffix = F.when(
+            (lang == "python") & (py_form == 1), F.lit(".core")
+        ).otherwise(F.lit(""))
+        return F.concat(prefix, name, suffix)
 
     names = _arr([_entity_name(k) for k in range(ENTITY_COUNT)])
     uri = F.concat(F.lit("https://example.org/ent/"), F.element_at(names, ent_uri + 1))
@@ -130,9 +138,12 @@ def _base_columns(file_id: Column, n_repos: int, mega_pct: int) -> dict[str, Col
     # identifier with two spellings that must cluster (snake vs camel)
     ident_k = _pick(file_id, "ident", len(IDENT_WORDS))
     words = _arr(IDENT_WORDS)
-    snake = F.concat(F.element_at(words, ident_k + 1), F.lit("_worker"))
-    camel = F.concat(F.element_at(words, ident_k + 1), F.lit("Worker"))
-    ident = F.when(_pick(file_id, "spelling", 2) == 0, snake).otherwise(camel)
+    ident = F.concat(
+        F.element_at(words, ident_k + 1),
+        F.when(_pick(file_id, "spelling", 2) == 0, F.lit("_worker")).otherwise(
+            F.lit("Worker")
+        ),
+    )
 
     return {
         "repo": repo,
@@ -176,32 +187,37 @@ def _filler(file_id: Column, lang: Column, n_lines: int) -> Column:
 
 
 def _content(c: dict[str, Column]) -> Column:
+    """One concat with per-lang LITERAL fragments; the expensive
+    alias/uri/ident sub-expressions each appear exactly once.
+
+    The previous shape (three full per-lang concats under a CASE)
+    duplicated every alias tree 3x; fused with downstream extraction
+    aggregates the generated method crossed janino's 64 KB limit and
+    whole-stage codegen fell back to interpreted execution (10 hits in
+    the round-3 oracle-replica log).  Output is byte-identical."""
+    lang = c["lang"]
+
+    def frag(py: str, go: str, java: str) -> Column:
+        return (
+            F.when(lang == "python", F.lit(py))
+            .when(lang == "go", F.lit(go))
+            .otherwise(F.lit(java))
+        )
+
     nl = F.lit("\n")
-    py = F.concat(
-        F.lit("\"\"\"auto module\"\"\"\n"),
-        F.lit("import "), c["alias_a"], nl,
-        F.lit("import "), c["alias_b"], nl,
-        F.lit("# see "), c["uri"], nl,
-        F.lit("def "), c["ident"], F.lit("(x):\n    return x + 1\n"),
-    )
-    go = F.concat(
-        F.lit("package main\n"),
-        F.lit("import \""), c["alias_a"], F.lit("\"\n"),
-        F.lit("import \""), c["alias_b"], F.lit("\"\n"),
-        F.lit("// see "), c["uri"], nl,
-        F.lit("func "), c["ident"], F.lit("(x int) int { return x + 1 }\n"),
-    )
-    java = F.concat(
-        F.lit("package org.example;\n"),
-        F.lit("import "), c["alias_a"], F.lit(";\n"),
-        F.lit("import "), c["alias_b"], F.lit(";\n"),
-        F.lit("// see "), c["uri"], nl,
-        F.lit("int "), c["ident"], F.lit("(int x) { return x + 1; }\n"),
-    )
-    return (
-        F.when(c["lang"] == "python", py)
-        .when(c["lang"] == "go", go)
-        .otherwise(java)
+    return F.concat(
+        frag('"""auto module"""\n', "package main\n", "package org.example;\n"),
+        frag("import ", 'import "', "import "), c["alias_a"],
+        frag("\n", '"\n', ";\n"),
+        frag("import ", 'import "', "import "), c["alias_b"],
+        frag("\n", '"\n', ";\n"),
+        frag("# see ", "// see ", "// see "), c["uri"], nl,
+        frag("def ", "func ", "int "), c["ident"],
+        frag(
+            "(x):\n    return x + 1\n",
+            "(x int) int { return x + 1 }\n",
+            "(int x) { return x + 1; }\n",
+        ),
     )
 
 

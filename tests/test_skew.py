@@ -96,3 +96,60 @@ def test_extraction_correct_under_salting(spark):
         for r in extract_mentions(salted).select("content_sha", "kind", "value").collect()
     }
     assert got == plain
+
+
+def test_aqe_skew_join_splits_mega_partition(spark):
+    """AQE skew-join splitting observed in an EXECUTED plan, not just
+    salting: a mega-key (90% of rows — the mega-repo imbalance the
+    reference's per-source concurrency knobs exist for,
+    /root/reference/dagster.yaml:8-16) large-large SMJ must show
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead in the final
+    adaptive plan.  Thresholds are lowered so local-scale data crosses
+    the same code path production sizes would; broadcast is disabled so
+    the join is a genuine shuffle join; the consumer is a GLOBAL agg —
+    a downstream groupBy on the join key would forbid the split (it
+    would break required co-partitioning), which is itself part of the
+    semantics this test documents."""
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tuned.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit("mega-repo"))
+            .otherwise(
+                F.concat(F.lit("repo-"), (F.col("id") % 100).cast("string"))
+            )
+            .alias("repo"),
+            F.lpad(F.lit("x"), 64, "x").alias("pad"),
+        )
+        right = spark.range(101).select(
+            F.when(F.col("id") == 0, F.lit("mega-repo"))
+            .otherwise(F.concat(F.lit("repo-"), (F.col("id") - 1).cast("string")))
+            .alias("repo"),
+            F.lpad(F.lit("m"), 256, "m").alias("meta"),
+        )
+        df = left.join(right, "repo").agg(F.sum(F.length("pad")).alias("s"))
+        [row] = df.collect()
+        assert row["s"] == 300000 * 64  # every left row matched exactly once
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead" in plan and "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
