@@ -228,3 +228,119 @@ def test_session_window_streaming_drain(spark, tmp_path):
         for r in batch.collect()
     }
     assert emitted == expected
+
+
+def test_restart_from_checkpoint_recovers_exactly_once(spark, tmp_path):
+    """Kill the streaming query mid-drain and restart from the same
+    checkpointLocation: the production drain must resume from committed
+    offsets, not reprocess committed batches, and the restored
+    dropDuplicatesWithinWatermark state must still drop a duplicate
+    whose first copy was committed BEFORE the crash.
+
+    Shape: three source files drained one-per-batch
+    (maxFilesPerTrigger=1); the sink raises on batch 1 before touching
+    the catalog (crash after batch 0's offsets committed).  Restart uses
+    the real run_dedup_ingest_to_catalog entry point."""
+    import os
+    import time
+
+    import pytest
+    from pyspark.sql import types as T
+
+    from scheduler_spark.catalog import Catalog
+    from scheduler_spark.streaming.ingest import (
+        dedup_stream,
+        run_dedup_ingest_to_catalog,
+        stream_files,
+    )
+
+    schema = T.StructType(
+        FILES.fields + [T.StructField("ingest_ts", T.TimestampType(), False)]
+    )
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    catalog = Catalog(root=str(tmp_path / "cat"), spark=spark)
+
+    def rows(tag, n, ts, dup_content=None):
+        out = [
+            (f"org/{tag}", f"src/{tag}{i}.py", f"c{tag}{i}", "python",
+             f"content-{tag}-{i}", ts)
+            for i in range(n)
+        ]
+        if dup_content is not None:
+            out.append(
+                (f"org/{tag}", f"src/{tag}dup.py", f"c{tag}d", "python",
+                 dup_content, ts)
+            )
+        return out
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    batches = [
+        rows("a", 5, t0, dup_content="shared-payload"),
+        rows("b", 5, t0 + datetime.timedelta(minutes=1)),
+        # same payload again, within the 1 h watermark horizon — must be
+        # dropped by state RESTORED from the checkpoint after restart
+        rows("c", 5, t0 + datetime.timedelta(minutes=2),
+             dup_content="shared-payload"),
+    ]
+    pinned: set[str] = set()
+    for i, batch in enumerate(batches):
+        # the file source does not recurse: append part files directly
+        # into src, one data file per batch; pin mtimes to fix the order
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stamp = time.time() + i * 10
+        for name in os.listdir(src):
+            if name.endswith(".parquet") and name not in pinned:
+                os.utime(os.path.join(src, name), (stamp, stamp))
+                pinned.add(name)
+
+    # -- crash run: same stream shape as production, sink dies on batch 1
+    stream = dedup_stream(
+        stream_files(spark, str(src), schema, max_files_per_trigger=1)
+    )
+
+    def crashing_sink(batch_df, batch_id: int) -> None:
+        if batch_id >= 1:
+            raise RuntimeError("injected crash before append")
+        if not batch_df.isEmpty():
+            catalog.append(batch_df, "ingested",
+                           properties={"stream_batch_id": batch_id})
+
+    q = (
+        stream.writeStream.foreachBatch(crashing_sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+
+    committed = catalog.read("ingested")
+    assert committed.count() == 6  # batch 0 only: 5 + its dup row
+    snaps_before = len(catalog.snapshots("ingested"))
+    assert snaps_before == 1
+
+    # -- restart with the PRODUCTION entry point and the same checkpoint
+    run_dedup_ingest_to_catalog(
+        spark, str(src), schema, catalog, "ingested", ckpt
+    )
+
+    final = catalog.read("ingested")
+    # exactly-once: batch 0 not reprocessed, batches 1-2 each once
+    assert final.count() == 16  # 6 + 5 + 5 (second shared-payload dropped)
+    shas = final.select("content_sha").collect()
+    assert len({r["content_sha"] for r in shas}) == len(shas)
+    # the post-crash duplicate was dropped by RESTORED dedup state
+    assert final.filter(F.col("path") == "src/cdup.py").count() == 0
+    assert final.filter(F.col("path") == "src/adup.py").count() == 1
+    # one snapshot per committed non-empty batch
+    assert len(catalog.snapshots("ingested")) >= snaps_before + 1
+    # a second drain with no new input appends nothing
+    run_dedup_ingest_to_catalog(
+        spark, str(src), schema, catalog, "ingested", ckpt
+    )
+    assert catalog.read("ingested").count() == 16
