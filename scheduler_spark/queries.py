@@ -2416,6 +2416,67 @@ def vocab_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_POSTING_CAP = 16
+
+
+@query(
+    "inverted_index_postings",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS token
+      FROM documents),
+    ranked AS (
+      SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY token) AS df
+      FROM toks)
+    SELECT token, CAST(max(df) AS BIGINT) AS doc_freq,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM ranked WHERE rn <= {_POSTING_CAP} GROUP BY token
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — per-term document-frequency plus a CAPPED
+    posting list (the 16 lowest doc_ids), the retrieval-side artifact a
+    corpus search/dedup service materializes.
+
+    Scale shape: ONE shuffle on the term (both window functions share
+    the partition key, so Catalyst plans a single exchange), df counted
+    over the FULL posting before the deterministic cap truncates it —
+    the winnow_copy_pairs posting-cap discipline (operators/dedup.py),
+    so a stopword's billion-document posting never reaches collect_list;
+    per-group state is bounded at the cap.  Postings serialize as a
+    comma-joined string so the cross-engine hash compares exact content,
+    not container formatting."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            )
+        ).alias("token"),
+    )
+    w = Window.partitionBy("token")
+    ranked = toks.select(
+        "token",
+        "doc_id",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("df"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= _POSTING_CAP)
+        .groupBy("token")
+        .agg(
+            F.max("df").cast("long").alias("doc_freq"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+    )
+
+
 @query(
     "tfidf_top_terms",
     """
@@ -2996,6 +3057,49 @@ def pagerank_entity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lpa_communities",
+    f"""
+    WITH raw AS (
+      {_ORDER_GRAPH_RAW_CTE}),
+    fwd AS (SELECT u, v FROM raw WHERE u <> v),
+    edges AS (SELECT u, v FROM fwd UNION SELECT v AS u, u AS v FROM fwd),
+    voting AS (SELECT u, v FROM edges
+               UNION SELECT DISTINCT u, u AS v FROM edges),
+    l0 AS (SELECT DISTINCT u AS n, u AS label FROM edges),
+    c1 AS (
+      SELECT e.u AS n, l.label, count(*) AS c
+      FROM voting e JOIN l0 l ON e.v = l.n GROUP BY e.u, l.label),
+    l1 AS (
+      SELECT n, label FROM (
+        SELECT n, label,
+               row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+        FROM c1) WHERE rn = 1),
+    c2 AS (
+      SELECT e.u AS n, l.label, count(*) AS c
+      FROM voting e JOIN l1 l ON e.v = l.n GROUP BY e.u, l.label),
+    l2 AS (
+      SELECT n, label FROM (
+        SELECT n, label,
+               row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+        FROM c2) WHERE rn = 1)
+    SELECT n AS entity_id, label AS community FROM l2
+    """,
+)
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via deterministic synchronous label
+    propagation (operators/lpa.py), two rounds so the SQL twin is an
+    unrolled CTE chain.  Integer neighbour-label counts (plus the one
+    self vote that damps synchronous oscillation) + smallest-label
+    tie-break make every round exactly reproducible cross-engine — no
+    float comparisons anywhere, so the full result set is hash-compared
+    unrounded."""
+    from .operators.lpa import label_propagation
+
+    edges = _order_graph_edges(spark, sf_dir)
+    return label_propagation(edges, iterations=2)
+
+
+@query(
     "kg_triangle_count",
     f"""
     WITH raw AS (
@@ -3550,6 +3654,8 @@ _PRIORITY = [
     "ann_lsh_bucketed",
     # round-4 new + changed entries (need fresh official rows)
     "semdedup_cluster_prune",
+    "lpa_communities",
+    "inverted_index_postings",
     "fuzzy_block_stats",
     "entity_fuzzy_match",
     "contamination_check",
