@@ -610,6 +610,53 @@ def lsh_ann_topk(
     )
 
 
+def knn_graph(
+    vectors: DataFrame,
+    k: int = 5,
+    mutual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probes: int = 2,
+    train_sample: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-wide k-nearest-neighbour graph → (src, dst, rank, sim).
+
+    The self-join shape every embedding-space pipeline stage downstream
+    of ANN wants (graph clustering, SemDeDup-style pruning, link
+    prediction): each vector's top-k cosine neighbours as a directed
+    edge list, optionally restricted to MUTUAL edges (src in dst's
+    top-k AND dst in src's top-k — the standard noise filter before
+    community detection on a kNN graph).
+
+    Scale shape: this is ivf_ann_topk with the corpus on BOTH sides —
+    candidates are pairs sharing a probed IVF cell, so the join is a
+    cell equi-join costing N * k_probe_fraction, never the N² cross
+    join (dedup_embedding_cosine is the declared quadratic yardstick).
+    The mutual filter is one self left-semi equi-join on the reversed
+    edge key — edge-shaped, k·N rows a side.  Recall vs exact truth is
+    MEASURED by the knn_graph_recall gate, not trusted.
+    """
+    edges = ivf_ann_topk(
+        vectors,
+        vectors,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        n_probes=n_probes,
+        train_sample=train_sample,
+        seed=seed,
+    )
+    if mutual:
+        rev = edges.select(F.col("cid").alias("qid"), F.col("qid").alias("cid"))
+        edges = edges.join(rev, ["qid", "cid"], "left_semi")
+    return edges.select(
+        F.col("qid").alias("src"), F.col("cid").alias("dst"), "rank", "sim"
+    )
+
+
 def semdedup_prune(
     embeddings: DataFrame,
     k: int = 8,

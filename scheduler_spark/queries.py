@@ -2297,6 +2297,48 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_graph_recall",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    truth AS (
+      SELECT qid, cid FROM (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+                 DESC, b.vec_id) AS rank
+        FROM v a, v b WHERE a.vec_id != b.vec_id)
+      WHERE rank <= 5)
+    SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok FROM truth
+    """,
+)
+def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge recall of the IVF-blocked kNN GRAPH (every node's
+    top-5, operators/similarity.knn_graph) vs the exact brute-force
+    graph — the corpus-wide self-join case, strictly harder than the
+    bounded-query ann_ivf_recall gate because every boundary vector is
+    a query.  recall_ok = recall ≥ 0.9 (0.92 measured at sf0.01 with
+    6/8 cells probed); truth is recomputed exactly at gate scale, not
+    trusted."""
+    from .operators.similarity import brute_force_topk, knn_graph
+
+    v = _t(spark, sf_dir, "embeddings")
+    truth = brute_force_topk(v, v, k=5).select("qid", "cid")
+    approx = knn_graph(v, k=5, n_lists=8, n_probes=6).select(
+        F.col("src").alias("qid"), F.col("dst").alias("cid")
+    )
+    hits = truth.join(approx, ["qid", "cid"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            (F.col("n_hit") >= F.lit(0.9) * F.col("n_true")).alias("recall_ok"),
+        )
+    )
+
+
+@query(
     "ann_ivfpq_recall",
     """
     WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
@@ -3531,6 +3573,19 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(q, v, k=10, n_lists=8, n_probes=2)
 
 
+def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual kNN graph over the whole corpus — IVF-blocked top-5 per
+    vector, kept only where both directions survive (the standard
+    noise filter before clustering a kNN graph).  Scale path: cell
+    equi-join candidates + one reversed-key left-semi self-join;
+    directed-edge recall is measured by knn_graph_recall."""
+    from .operators.similarity import knn_graph
+
+    return knn_graph(
+        _t(spark, sf_dir, "embeddings"), k=5, mutual=True, n_lists=8, n_probes=6
+    )
+
+
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN: product-quantized candidate ranking (codes-only
     shuffle on the corpus side) + exact re-rank of the ADC shortlist;
@@ -3633,6 +3688,7 @@ _ROWS_ONLY: dict[str, Query] = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf": ann_ivf,
     "ann_ivfpq": ann_ivfpq,
+    "knn_graph_mutual": knn_graph_mutual,
 }
 
 
@@ -3656,6 +3712,8 @@ _PRIORITY = [
     "semdedup_cluster_prune",
     "lpa_communities",
     "inverted_index_postings",
+    "knn_graph_recall",
+    "knn_graph_mutual",
     "fuzzy_block_stats",
     "entity_fuzzy_match",
     "contamination_check",

@@ -137,3 +137,43 @@ def test_bucket_cap_shed_is_measurable_at_bench_scale(spark):
     ).first()
     banded.unpersist()
     assert row2.n_rows_shed == 0 and row2.n_capped_buckets == 0
+
+
+def test_knn_graph_recall_at_bench_scale(spark):
+    """Corpus-wide kNN-graph directed-edge recall at sf0.1 — every
+    vector is a query, so boundary cells matter far more than in the
+    bounded-query IVF gate.  Measured 0.921 with 6/8 probes (matches
+    0.9216 at sf0.01 — the blocking quality is scale-stable)."""
+    from scheduler_spark.operators.similarity import brute_force_topk, knn_graph
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    truth = brute_force_topk(emb, emb, k=5).select("qid", "cid").cache()
+    cand = knn_graph(emb, k=5, n_lists=8, n_probes=6).select(
+        F.col("src").alias("qid"), F.col("dst").alias("cid")
+    )
+    n_true, recall = _recall(truth, cand, ["qid", "cid"])
+    truth.unpersist()
+    assert n_true > 0
+    assert recall >= 0.91, (n_true, recall)
+
+
+def test_mutual_knn_edges_are_symmetric_subset(spark):
+    """mutual=True must keep exactly the edges whose reverse is also a
+    top-k edge: result ⊆ directed graph, and closed under reversal."""
+    from scheduler_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    directed = knn_graph(emb, k=5, n_lists=8, n_probes=6).select("src", "dst").cache()
+    mutual = knn_graph(emb, k=5, mutual=True, n_lists=8, n_probes=6).select(
+        "src", "dst"
+    ).cache()
+    assert mutual.join(directed, ["src", "dst"], "left_anti").count() == 0
+    rev = mutual.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert mutual.join(rev, ["src", "dst"], "left_anti").count() == 0
+    # and it IS the mutual subset: directed ∩ reverse(directed)
+    drev = directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    expect = directed.join(drev, ["src", "dst"], "left_semi")
+    assert expect.exceptAll(mutual).count() == 0
+    assert mutual.exceptAll(expect).count() == 0
+    directed.unpersist()
+    mutual.unpersist()
