@@ -26,10 +26,11 @@ import sys
 from pyspark.sql import SparkSession
 
 from .catalog import Catalog
-from .pipeline import StrictModeError, run_pipeline
+from .pipeline import RunTimeoutError, StrictModeError, run_pipeline
 from .synth import alias_df, synth_files
 
 EXIT_STRICT_QUARANTINE = 3
+EXIT_RUN_TIMEOUT = 4
 
 
 def _build_session(local_cores: int | None) -> SparkSession:
@@ -57,6 +58,11 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     p.add_argument("--salt", type=int, default=8)
     p.add_argument("--strict", action="store_true",
                    help="escalate quarantined rows to a failed run (exit 3)")
+    p.add_argument("--max-runtime-seconds", type=float, default=None,
+                   help="abort the run cleanly (exit 4, no table writes) if "
+                        "it exceeds this wall-clock budget; the next run "
+                        "resumes from the committed checkpoint (the "
+                        "reference's run-monitor max_runtime_seconds)")
     p.add_argument("--local-cores", type=int, default=None,
                    help="force a local[N] session (omit under spark-submit)")
     args = p.parse_args(argv)
@@ -94,6 +100,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         res = run_pipeline(
             spark, files, aliases, Catalog(args.catalog, spark),
             run_id=args.run_id, salt=args.salt, strict=args.strict,
+            max_runtime_seconds=args.max_runtime_seconds,
         )
         out = {
             "run_id": res.run_id,
@@ -107,6 +114,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     except StrictModeError as e:
         out = {"run_id": args.run_id, "error": str(e), "strict": True}
         code = EXIT_STRICT_QUARANTINE
+    except RunTimeoutError as e:
+        out = {
+            "run_id": args.run_id, "error": str(e),
+            "timed_out_stage": e.stage,
+        }
+        code = EXIT_RUN_TIMEOUT
     print(json.dumps(out))
     if own_session and args.local_cores is not None:
         spark.stop()

@@ -62,6 +62,29 @@ class StrictModeError(RuntimeError):
     reference's `exit_3_is_fatal` escalation, lib/utils.py:89-97)."""
 
 
+class RunTimeoutError(RuntimeError):
+    """Raised when a run exceeds ``max_runtime_seconds`` — the engine
+    analog of the reference's run monitor killing runs past
+    max_runtime_seconds (3 days, /root/reference/dagster.yaml:18-24).
+
+    The deadline is checked BETWEEN stages, always before the write
+    block: the mentions/triples/checkpoint commits are all-or-nothing
+    at the end of the run, so a timed-out run leaves every table at its
+    previous snapshot and the next run's checkpoint anti-join simply
+    redoes the unfinished work — the same idempotent-cancel semantics
+    the reference relies on (its runs are resumable per-source syncs).
+    """
+
+    def __init__(self, stage: str, elapsed: float, limit: float) -> None:
+        super().__init__(
+            f"run exceeded max_runtime_seconds={limit:g} "
+            f"(elapsed {elapsed:.1f}s at stage '{stage}')"
+        )
+        self.stage = stage
+        self.elapsed = elapsed
+        self.limit = limit
+
+
 @dataclass
 class PipelineResult:
     run_id: str
@@ -115,6 +138,7 @@ def run_pipeline(
     strict: bool = False,
     source_widths: DataFrame | None = None,
     alias_optouts: DataFrame | None = None,
+    max_runtime_seconds: float | None = None,
 ) -> PipelineResult:
     """One incremental sync of the corpus into the triples table.
 
@@ -122,7 +146,20 @@ def run_pipeline(
     reason and the run continues — the reference's non-fatal partial
     failure (exit 3 ⇒ warn, /root/reference/userCode/lib/utils.py:89-97);
     strict=True escalates to StrictModeError after recording them.
+    ``max_runtime_seconds`` bounds the run (RunTimeoutError, checked
+    between stages before any table write — see the exception class).
     """
+    import time
+
+    t0 = time.monotonic()
+
+    def _deadline(stage: str) -> None:
+        if max_runtime_seconds is None:
+            return
+        elapsed = time.monotonic() - t0
+        if elapsed > max_runtime_seconds:
+            raise RunTimeoutError(stage, elapsed, max_runtime_seconds)
+
     # -- 0./1. single metadata pass: validation tagging + fingerprints ---
     # ONE scan of `files` materializes a slim per-row frame (repo, path,
     # commit, content_sha, _reason) — ~100 B/row regardless of content
@@ -159,6 +196,7 @@ def run_pipeline(
                 f"{n_quarantined} rows quarantined in strict mode (run {run_id})"
             )
 
+    _deadline("metadata")
     # prune sources that vanished from the corpus: drop their table
     # partitions (metadata-only) and retire their checkpoint rows —
     # without this a removed repo's triples persist forever.  Presence
@@ -200,6 +238,7 @@ def run_pipeline(
             skipped=True, n_quarantined=n_quarantined, n_pruned_partitions=n_pruned,
         )
 
+    _deadline("plan")
     # second (and final) corpus scan: content re-read only as the
     # extraction input; every metadata consumer (in_lang triples below)
     # reads the checkpointed slim frame instead
@@ -231,9 +270,11 @@ def run_pipeline(
     ident_entities = canonicalize_values(ident_mentions.select("value"), edges)
 
     # -- 4. materialize --------------------------------------------------
+    _deadline("link")
     triples = build_triples(meta_subset, linked, ident_mentions, ident_entities, run_id).cache()
     n_triples = triples.count()
 
+    _deadline("materialize")
     lineage = stage_counters(triples, "src_partition", run_id, "materialize").cache()
     props = counters_property(lineage)
     props["run_id"] = run_id
