@@ -61,6 +61,12 @@ HEADLINE = [
     "graph_bfs_distances",
     "bigram_logprob_score",
     "token_cooccurrence_pmi",
+    # round-4 adds: linear-scale semantic dedup (the SemDeDup shape),
+    # label-propagation communities, and the capped inverted index —
+    # all single-digit-shuffle plans that track corpus size linearly
+    "semdedup_cluster_prune",
+    "lpa_communities",
+    "inverted_index_postings",
 ]
 
 KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))
