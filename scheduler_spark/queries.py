@@ -1777,7 +1777,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersect 64-bit shingle hashes, not 3-char strings: integer
     # equality beats string hashing per probe, and |set| is preserved
     # (in-doc hash collision odds ~1e-15)
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", "source",
         F.array_distinct(
             F.transform(_doc_shingles_spark(F.col("text")), lambda s: F.xxhash64(s))
@@ -1840,7 +1840,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     v = (
-        _t(spark, sf_dir, "embeddings")
+        _spread(spark, _t(spark, sf_dir, "embeddings"))
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn("nrm", norm)
     )
@@ -1924,7 +1924,7 @@ def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _t(spark, sf_dir, "embeddings").select(
+    v = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     q = v.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("qid"), F.col("e").alias("eq"))
@@ -3466,7 +3466,7 @@ def winnow_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import winnow_fingerprints
 
     fps = winnow_fingerprints(
-        _t(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+        _spread(spark, _t(spark, sf_dir, "documents")), k=_WINNOW_K, w=_WINNOW_W
     )
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fps"),
@@ -3500,7 +3500,7 @@ def winnow_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import winnow_copy_pairs as _pairs
 
     return _pairs(
-        _t(spark, sf_dir, "documents"),
+        _spread(spark, _t(spark, sf_dir, "documents")),
         k=_WINNOW_K,
         w=_WINNOW_W,
         min_shared=_WINNOW_MIN_SHARED,
@@ -3675,7 +3675,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-gated measurement against the exact-jaccard twin)."""
     from .operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(
         d, id_col="doc_id", text_col="text", block_col="source", threshold=0.7
     )
@@ -3686,7 +3686,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with bit_count(xor)); all built-in column expressions."""
     from .operators.dedup import simhash_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     # short same-vocab docs collide easily on simhash: keep a tight radius
     return simhash_pairs(d, id_col="doc_id", text_col="text", max_hamming=3)
 
@@ -3700,8 +3700,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_lsh_pairs
 
     return embedding_lsh_pairs(
-        _t(spark, sf_dir, "embeddings"), dim=64, bands=16, planes_per_band=2,
-        threshold=0.45,
+        _spread(spark, _t(spark, sf_dir, "embeddings")), dim=64, bands=16,
+        planes_per_band=2, threshold=0.45,
     )
 
 
@@ -3709,7 +3709,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH-bucketed ANN (scale path for ann_cosine_topk)."""
     from .operators.similarity import lsh_ann_topk
 
-    v = _t(spark, sf_dir, "embeddings")
+    v = _spread(spark, _t(spark, sf_dir, "embeddings"))
     q = v.filter(F.col("vec_id") < 5)
     return lsh_ann_topk(q, v, k=10)
 
@@ -3733,7 +3733,8 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import knn_graph
 
     return knn_graph(
-        _t(spark, sf_dir, "embeddings"), k=5, mutual=True, n_lists=8, n_probes=6
+        _spread(spark, _t(spark, sf_dir, "embeddings")), k=5, mutual=True,
+        n_lists=8, n_probes=6,
     )
 
 
