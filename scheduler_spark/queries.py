@@ -3293,6 +3293,46 @@ def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_link_prediction",
+    f"""
+    WITH raw AS (
+      {_ORDER_GRAPH_RAW_CTE}),
+    fwd AS (SELECT u, v FROM raw WHERE u <> v),
+    edges AS (SELECT u, v FROM fwd UNION SELECT v AS u, u AS v FROM fwd),
+    pairs AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM fwd),
+    deg AS (SELECT u AS n, count(*) AS d FROM edges GROUP BY u),
+    wedges AS (
+      SELECT e1.v AS a, e2.v AS b, count(*) AS cn
+      FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+      GROUP BY e1.v, e2.v),
+    cand AS (
+      SELECT w.a, w.b, w.cn FROM wedges w
+      LEFT JOIN pairs p ON p.a = w.a AND p.b = w.b
+      WHERE p.a IS NULL)
+    SELECT c.a AS entity_a, c.b AS entity_b,
+           CAST(c.cn AS BIGINT) AS common_neighbors,
+           round(CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn), 6) AS jaccard_score
+    FROM cand c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
+    ORDER BY jaccard_score DESC, entity_a, entity_b LIMIT 20
+    """,
+)
+def kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the entity graph
+    (operators/linkpred.predict_links): top-20 non-adjacent pairs by
+    common-neighbor Jaccard.  Counts and degrees are integers, so
+    scores are identical IEEE divisions cross-engine — ranked on the
+    rounded score with a pair tie-break, no ulp guard needed.  The
+    hub cap (max_wedge_degree) is set above the gate graph's max
+    degree, so the oracle sees the exact uncapped scores while the
+    scale guard stays on the executed path."""
+    from .operators.linkpred import predict_links
+
+    return predict_links(
+        _order_graph_edges(spark, sf_dir), k=20, max_wedge_degree=10000
+    )
+
+
+@query(
     "kg_triangle_count",
     f"""
     WITH raw AS (
@@ -3869,6 +3909,7 @@ _PRIORITY = [
     "q7_volume_shipping",
     "q10_returned_items",
     "q18_large_orders",
+    "kg_link_prediction",
     "fuzzy_block_stats",
     "entity_fuzzy_match",
     "contamination_check",
