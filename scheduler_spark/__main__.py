@@ -59,10 +59,12 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     p.add_argument("--strict", action="store_true",
                    help="escalate quarantined rows to a failed run (exit 3)")
     p.add_argument("--max-runtime-seconds", type=float, default=None,
-                   help="abort the run cleanly (exit 4, no table writes) if "
-                        "it exceeds this wall-clock budget; the next run "
-                        "resumes from the committed checkpoint (the "
-                        "reference's run-monitor max_runtime_seconds)")
+                   help="abort the run cleanly (exit 4) if it exceeds this "
+                        "wall-clock budget: data tables stay at their "
+                        "previous snapshot (only quarantine diagnostics may "
+                        "have been recorded) and the next run resumes from "
+                        "the committed checkpoint (the reference's "
+                        "run-monitor max_runtime_seconds)")
     p.add_argument("--local-cores", type=int, default=None,
                    help="force a local[N] session (omit under spark-submit)")
     args = p.parse_args(argv)

@@ -31,7 +31,7 @@ same IEEE division in any engine — the ranking needs no ulp guard.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

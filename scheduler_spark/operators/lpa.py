@@ -77,7 +77,7 @@ def label_propagation(
     ).localCheckpoint()
     labels = nodes.select("n", F.col("n").alias("label"))
     pick = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(max(iterations, 0)):
+    for i in range(max(iterations, 0)):
         counts = (
             voting.join(labels.select(F.col("n").alias("v"), "label"), "v")
             .groupBy(F.col("u").alias("n"), "label")
@@ -87,6 +87,10 @@ def label_propagation(
             counts.withColumn("rn", F.row_number().over(pick))
             .filter(F.col("rn") == 1)
             .select("n", "label")
-            .localCheckpoint()
         )
+        # truncate lineage BETWEEN rounds only: the final round stays a
+        # plain plan, so plan audits/tests see the real join+window
+        # shape instead of a checkpoint RDD scan
+        if i < iterations - 1:
+            labels = labels.localCheckpoint()
     return labels.select(F.col("n").alias("entity_id"), F.col("label").alias("community"))

@@ -68,11 +68,17 @@ class RunTimeoutError(RuntimeError):
     max_runtime_seconds (3 days, /root/reference/dagster.yaml:18-24).
 
     The deadline is checked BETWEEN stages, always before the write
-    block: the mentions/triples/checkpoint commits are all-or-nothing
-    at the end of the run, so a timed-out run leaves every table at its
-    previous snapshot and the next run's checkpoint anti-join simply
-    redoes the unfinished work — the same idempotent-cancel semantics
-    the reference relies on (its runs are resumable per-source syncs).
+    block: the mentions/triples/checkpoint commits AND the
+    vanished-source partition prune are all deferred to the end of the
+    run, so a timed-out run leaves every data table at its previous
+    snapshot (never half-pruned) and the next run's checkpoint
+    anti-join simply redoes the unfinished work — the same
+    idempotent-cancel semantics the reference relies on (its runs are
+    resumable per-source syncs).  One exemption: quarantine rows are an
+    append-only diagnostic LOG recorded before strict-mode escalation
+    (the record-then-escalate contract), so a run that times out after
+    the metadata stage may have appended them — they carry the run_id
+    and alter no data table.
     """
 
     def __init__(self, stage: str, elapsed: float, limit: float) -> None:
@@ -181,6 +187,9 @@ def run_pipeline(
     n_quarantined = bad.count()
     fp = fingerprint_partitions(slim.filter(F.col("_reason").isNull())).localCheckpoint()
     checkpoint = catalog.read(CHECKPOINT_TABLE) if catalog.exists(CHECKPOINT_TABLE) else None
+    # the deadline precedes even the quarantine diagnostic append, so a
+    # run that times out here has written nothing at all
+    _deadline("metadata")
     if n_quarantined:
         catalog.append(
             bad.select(
@@ -196,15 +205,18 @@ def run_pipeline(
                 f"{n_quarantined} rows quarantined in strict mode (run {run_id})"
             )
 
-    _deadline("metadata")
-    # prune sources that vanished from the corpus: drop their table
-    # partitions (metadata-only) and retire their checkpoint rows —
+    # PLAN the prune of sources that vanished from the corpus: their
+    # table partitions are dropped and their checkpoint rows retired —
     # without this a removed repo's triples persist forever.  Presence
     # is judged on the RAW input (pre-validation `slim`), not on the
     # post-quarantine fingerprints: a source whose rows were all
     # quarantined this run is degraded, not removed — pruning it would
-    # contradict the warn-and-continue quarantine contract.
+    # contradict the warn-and-continue quarantine contract.  The
+    # delete_partitions EXECUTION is deferred into the terminal write
+    # block (after the last deadline check), so a timed-out run never
+    # half-prunes — see RunTimeoutError.
     n_pruned = 0
+    vanished_keys: list[str] = []
     if checkpoint is not None:
         present = slim.select(F.col("repo").alias("partition")).distinct()
         vanished = (
@@ -213,14 +225,17 @@ def run_pipeline(
             .collect()
         )
         if vanished:
-            keys = sorted(r["partition"] for r in vanished)
-            n_pruned = len(keys)
-            for table in (TRIPLES_TABLE, MENTIONS_TABLE):
-                if catalog.exists(table):
-                    catalog.delete_partitions(
-                        table, "src_partition", keys, properties={"run_id": run_id}
-                    )
+            vanished_keys = sorted(r["partition"] for r in vanished)
+            n_pruned = len(vanished_keys)
             checkpoint = checkpoint.join(present, "partition", "left_semi")
+
+    def _prune_vanished() -> None:
+        for table in (TRIPLES_TABLE, MENTIONS_TABLE):
+            if vanished_keys and catalog.exists(table):
+                catalog.delete_partitions(
+                    table, "src_partition", vanished_keys,
+                    properties={"run_id": run_id},
+                )
 
     # localCheckpoint (eager), not cache(): this plan READS the
     # checkpoint parquet that step 5 overwrites, and a cached plan is
@@ -230,7 +245,11 @@ def run_pipeline(
     n_dirty = dirty.count()
     if n_dirty == 0:
         if n_pruned:
-            # nothing to recompute, but the prune must still commit
+            # nothing to recompute, but the prune must still commit —
+            # this IS this path's terminal write block, so the deadline
+            # gates it and the deletes + checkpoint land together
+            _deadline("plan")
+            _prune_vanished()
             new_ckpt = updated_checkpoint(checkpoint, dirty, catalog.current_snapshot_id(TRIPLES_TABLE)).localCheckpoint()
             catalog.overwrite(new_ckpt, CHECKPOINT_TABLE, properties={"run_id": run_id})
         return PipelineResult(
@@ -270,15 +289,23 @@ def run_pipeline(
     ident_entities = canonicalize_values(ident_mentions.select("value"), edges)
 
     # -- 4. materialize --------------------------------------------------
-    _deadline("link")
-    triples = build_triples(meta_subset, linked, ident_mentions, ident_entities, run_id).cache()
-    n_triples = triples.count()
-
-    _deadline("materialize")
+    try:
+        _deadline("link")
+        triples = build_triples(meta_subset, linked, ident_mentions, ident_entities, run_id).cache()
+        n_triples = triples.count()
+        _deadline("materialize")
+    except RunTimeoutError:
+        # release cached blocks before surfacing the cancel — a
+        # long-lived session must not keep a dead run's cache pinned
+        mentions.unpersist()
+        if "triples" in locals():
+            triples.unpersist()
+        raise
     lineage = stage_counters(triples, "src_partition", run_id, "materialize").cache()
     props = counters_property(lineage)
     props["run_id"] = run_id
 
+    _prune_vanished()
     catalog.overwrite_partitions(
         mentions.withColumn("src_partition", F.col("repo")),
         MENTIONS_TABLE,

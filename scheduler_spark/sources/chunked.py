@@ -40,7 +40,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
-    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -55,7 +54,7 @@ CHUNK_SCHEMA = StructType(
         StructField("chunk_id", LongType()),
         StructField("offset", LongType()),
         StructField("data", BinaryType()),
-        StructField("n_bytes", IntegerType()),
+        StructField("n_bytes", LongType()),
         StructField("sha", StringType()),
     ]
 )

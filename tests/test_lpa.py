@@ -50,9 +50,15 @@ def test_zero_iterations_returns_identity_labels(spark):
 
 
 def test_lpa_round_is_equi_join_no_cartesian(spark):
+    """The final round is deliberately NOT checkpointed, so the
+    returned plan must actually CONTAIN the round's join + window —
+    guarding both against a cartesian vote count and against the test
+    going vacuous on a truncated plan."""
     plan = (
         label_propagation(_edges(spark, [("p", "q"), ("q", "r")]), iterations=1)
         ._jdf.queryExecution().executedPlan().toString()
     )
+    assert "Join" in plan, plan
+    assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -187,8 +187,6 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
     shuffling the full fact table and shuffling only keys that can
     match.  Thresholds are lowered so local-scale file scans cross the
     same optimizer rule production sizes would."""
-    import os
-
     fact_dir = str(tmp_path / "fact")
     dim_dir = str(tmp_path / "dim")
     spark.range(100000).select(
@@ -222,10 +220,21 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
         plan = _plan(j)
         assert "bloom_filter_agg" in plan, plan
         assert "might_contain" in plan, plan
-        # the filter must sit on the fact side BELOW its exchange:
-        # the pruning happens before the shuffle, not after
-        fact_scan = plan[plan.index("might_contain"):]
-        assert "fact" in fact_scan[:4000], plan
+        # the filter must sit on the fact side BELOW its exchange —
+        # pruning before the shuffle.  The fact branch's lines carry
+        # the ':' join-branch marker; the bloom-creation SUBQUERY
+        # printed inline under the Filter does not, so walking only
+        # ':'-marked lines from the Filter down must reach the fact
+        # scan without crossing another fact-branch Exchange.
+        lines = plan.splitlines()
+        fi = next(
+            i for i, l in enumerate(lines)
+            if "might_contain" in l and "Filter" in l
+        )
+        branch = [l for l in lines[fi + 1:] if l.lstrip().startswith(":")]
+        scan_i = next(i for i, l in enumerate(branch) if "FileScan" in l)
+        assert "fact" in branch[scan_i], plan
+        assert not any("Exchange" in l for l in branch[:scan_i]), plan
     finally:
         for key, v in saved.items():
             if v is None:

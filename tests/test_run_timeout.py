@@ -89,3 +89,56 @@ def test_cli_exit_code_4_on_timeout(spark, tmp_path):
         spark=spark,
     )
     assert code == EXIT_RUN_TIMEOUT
+
+
+def test_timeout_after_metadata_never_half_prunes(spark, tmp_path, monkeypatch):
+    """Regression: the vanished-source partition deletes are DEFERRED to
+    the terminal write block, so a run that passes the metadata check
+    but times out later must leave the vanished repo's partitions
+    intact (no half-prune) — and the next unbudgeted run completes the
+    prune."""
+    import time as _time
+
+    from scheduler_spark.pipeline import QUARANTINE_TABLE
+
+    catalog = Catalog(root=str(tmp_path), spark=spark)
+    aliases = alias_df(spark)
+    files = synth_files(spark, n_files=120)
+    run_pipeline(spark, files, aliases, catalog, run_id="base")
+    parts = {
+        r["src_partition"]
+        for r in catalog.read(TRIPLES_TABLE).select("src_partition").distinct().collect()
+    }
+    victim = sorted(p for p in parts if p != "mega/monorepo")[0]
+
+    # drop one repo (vanished) and dirty the rest so the run takes the
+    # extraction path; clock: t0=0, metadata check at 5s (inside the
+    # 10s budget), every later check far past it
+    from pyspark.sql import functions as F
+
+    changed = files.filter(F.col("repo") != victim).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" drift"))
+    )
+    ticks = iter([0.0, 5.0] + [1000.0] * 200)
+    monkeypatch.setattr(_time, "monotonic", lambda: next(ticks))
+    with pytest.raises(RunTimeoutError) as ei:
+        run_pipeline(
+            spark, changed, aliases, catalog, run_id="cut", max_runtime_seconds=10.0
+        )
+    monkeypatch.undo()
+    assert ei.value.stage in {"plan", "link"}
+    # the vanished repo's partitions must still be there — no half-prune
+    left = {
+        r["src_partition"]
+        for r in catalog.read(TRIPLES_TABLE).select("src_partition").distinct().collect()
+    }
+    assert victim in left
+    assert not catalog.exists(QUARANTINE_TABLE)
+
+    res = run_pipeline(spark, changed, aliases, catalog, run_id="redo")
+    assert res.n_pruned_partitions == 1
+    after = {
+        r["src_partition"]
+        for r in catalog.read(TRIPLES_TABLE).select("src_partition").distinct().collect()
+    }
+    assert victim not in after
