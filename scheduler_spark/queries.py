@@ -3363,6 +3363,307 @@ def kg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Graph core extraction + link analysis (engine adds next to PageRank/LPA).
+# The k-core gate runs on a deliberately SPARSE quadratic-residue graph
+# (the shared order graph is 2-regular-ish and peels in 0 rounds): 149
+# nodes whose 2-core is 17 nodes reached through 7 gradual peel rounds —
+# identical at every SF because the o_orderkey < 700 prefix is shared.
+# ---------------------------------------------------------------------------
+
+_KCORE_RAW_SQL = """SELECT (o_orderkey * o_orderkey + 1) % 149 AS u,
+             (o_orderkey * o_orderkey * o_orderkey + 2) % 149 AS v
+      FROM orders WHERE o_orderkey < 700"""
+
+
+def _kcore_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _KCORE_RAW_SQL (o_orderkey < 700 ⇒ k³ ≤ 3.4e8,
+    no BIGINT overflow on either engine)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 700)
+    kk = F.col("o_orderkey")
+    return o.select(
+        F.pmod(kk * kk + 1, F.lit(149)).alias("src_entity"),
+        F.pmod(kk * kk * kk + 2, F.lit(149)).alias("dst_entity"),
+    )
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """DuckDB twin of the iterative peel: round r keeps nodes whose
+    degree within e_{r-1} is ≥ k, then filters edges to the survivors.
+    Unrolled depth must cover the graph's true peel depth (7 at every
+    SF for the gate graph; 10 gives margin) — past the fixpoint the
+    rounds are no-ops, so over-unrolling is harmless."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs and
+    # every peel level references the previous one THREE times
+    # (e ⋈ s ⋈ s), so un-materialized unrolling re-plans e0 3^rounds
+    # times — the query never finishes past ~8 rounds
+    parts = [
+        f"raw AS ({_KCORE_RAW_SQL})",
+        "fwd AS (SELECT DISTINCT u, v FROM raw WHERE u <> v)",
+        "e0 AS MATERIALIZED (SELECT u, v FROM fwd UNION SELECT v AS u, u AS v FROM fwd)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT u AS n FROM e{r-1} "
+            f"GROUP BY u HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e "
+            f"JOIN s{r} a ON e.u = a.n JOIN s{r} b ON e.v = b.n)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT u AS node_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY u
+    """
+    )
+
+
+@query("kg_kcore_2core", _kcore_unrolled_sql(2, 10))
+def kg_kcore_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the sparse entity graph (operators/kcore.kcore): the
+    dense backbone after iteratively peeling degree-<2 nodes — the
+    standard low-signal-entity trim before expensive downstream passes.
+    The engine peels to FIXPOINT (one degree agg + two semi-joins +
+    one count action per round, localCheckpoint loop discipline); the
+    oracle unrolls 10 peel rounds (true depth 7).  Integer-only, no
+    ulp guard."""
+    from .operators.kcore import kcore
+
+    return kcore(_kcore_graph_edges(spark, sf_dir), k=2)
+
+
+@query(
+    "kg_hits_scores",
+    f"""
+    WITH raw AS (
+      {_ORDER_GRAPH_RAW_CTE}),
+    fwd AS MATERIALIZED (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+    nodes AS MATERIALIZED (SELECT u AS n FROM raw UNION SELECT v AS n FROM raw),
+    a1u AS (SELECT f.v AS n, CAST(count(*) AS DOUBLE) AS s FROM fwd f GROUP BY f.v),
+    a1n AS MATERIALIZED (SELECT nodes.n, coalesce(a1u.s, 0.0) AS s
+            FROM nodes LEFT JOIN a1u ON nodes.n = a1u.n),
+    a1 AS MATERIALIZED (SELECT n, s / (SELECT sum(s) FROM a1n) AS a FROM a1n),
+    h1u AS (SELECT f.u AS n, sum(a1.a) AS s FROM fwd f JOIN a1 ON f.v = a1.n GROUP BY f.u),
+    h1n AS MATERIALIZED (SELECT nodes.n, coalesce(h1u.s, 0.0) AS s
+            FROM nodes LEFT JOIN h1u ON nodes.n = h1u.n),
+    h1 AS MATERIALIZED (SELECT n, s / (SELECT sum(s) FROM h1n) AS h FROM h1n),
+    a2u AS (SELECT f.v AS n, sum(h1.h) AS s FROM fwd f JOIN h1 ON f.u = h1.n GROUP BY f.v),
+    a2n AS MATERIALIZED (SELECT nodes.n, coalesce(a2u.s, 0.0) AS s
+            FROM nodes LEFT JOIN a2u ON nodes.n = a2u.n),
+    a2 AS MATERIALIZED (SELECT n, s / (SELECT sum(s) FROM a2n) AS a FROM a2n),
+    h2u AS (SELECT f.u AS n, sum(a2.a) AS s FROM fwd f JOIN a2 ON f.v = a2.n GROUP BY f.u),
+    h2n AS MATERIALIZED (SELECT nodes.n, coalesce(h2u.s, 0.0) AS s
+            FROM nodes LEFT JOIN h2u ON nodes.n = h2u.n),
+    h2 AS MATERIALIZED (SELECT n, s / (SELECT sum(s) FROM h2n) AS h FROM h2n)
+    SELECT h2.n AS entity_id, round(h2.h, 6) AS hub_score, round(a2.a, 6) AS auth_score
+    FROM h2 JOIN a2 ON h2.n = a2.n
+    """,
+)
+def kg_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (operators/hits.hits, Kleinberg 1999)
+    over the shared entity graph — two L1-normalized iterations so the
+    SQL twin is a closed-form CTE chain (the pagerank gate pattern).
+    6-dp rounding both sides absorbs summation-order ulp noise."""
+    from .operators.hits import hits
+
+    h = hits(_order_graph_edges(spark, sf_dir), iterations=2)
+    return h.select(
+        "entity_id",
+        F.round("hub_score", 6).alias("hub_score"),
+        F.round("auth_score", 6).alias("auth_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer induction + data selection (training-data pipeline adds).
+# bpe_pair_merges = the first merge-step statistic of BPE vocabulary
+# training (Sennrich et al. 2016); boilerplate_dup_grams = the
+# duplicated-span document flag of Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better"); dsir_importance_weights
+# = hashed-n-gram importance weights of Xie et al. 2023 (DSIR).
+# ---------------------------------------------------------------------------
+
+@query(
+    "bpe_pair_merges",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+      FROM words WHERE len(w) >= 2)
+    SELECT pair, CAST(count(*) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs by corpus frequency — the
+    statistic a BPE tokenizer trainer computes to pick each merge
+    (Sennrich et al. 2016).  One map-side-combined shuffle on the pair;
+    the pair space is bounded by charset² (36² here), so the aggregate
+    state is constant-size regardless of corpus bytes — the per-merge
+    cost of distributed BPE training at 100 TB is one such pass."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "boilerplate_dup_grams",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS gram
+      FROM toks WHERE len(t) >= 8),
+    c AS (SELECT gram, count(*) AS gn FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c.gn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           (5 * sum(CASE WHEN c.gn >= 2 THEN 1 ELSE 0 END) <= count(*)) AS keep
+    FROM g JOIN c ON g.gram = c.gram
+    GROUP BY g.doc_id
+    """,
+)
+def boilerplate_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span flags (Lee et al. 2022): the fraction of a
+    document's word 8-grams that occur ≥2 times corpus-wide; keep iff
+    dup fraction ≤ 20%.  The keep rule is the INTEGER comparison
+    5·n_dup ≤ n_grams, so the gate is float-free.  Scale shape: the
+    shuffle key is the gram (sha-narrowable), one count aggregate +
+    one equi-join back — never doc×doc; at 100 TB this is the same
+    two-pass profile as contamination_overlap, with the gram
+    dictionary AQE-partitioned."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    grams = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 7),
+            lambda i: F.array_join(F.slice(t, i, F.lit(8)), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gn"))
+    dup = F.sum(F.when(F.col("gn") >= 2, 1).otherwise(0))
+    return (
+        g.join(c, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            dup.cast("long").alias("n_dup"),
+            (F.lit(5) * dup <= F.count(F.lit(1))).alias("keep"),
+        )
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, lang,
+             list_reduce(list_transform(range(1, len(tok) + 1),
+                                        i -> ascii(substr(tok, i, 1))),
+                         (acc, x) -> (acc * 31 + x) % 1000003) % 64 AS bucket
+      FROM toks),
+    tgt AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bucket),
+    rawc AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+    lr AS (
+      SELECT r.bucket,
+             ln((coalesce(t.tc, 0) + 1.0) / ((SELECT sum(tc) FROM tgt) + 64.0))
+           - ln((r.rc + 1.0) / ((SELECT sum(rc) FROM rawc) + 64.0)) AS w
+      FROM rawc r LEFT JOIN tgt t ON r.bucket = t.bucket)
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lr.w), 6) AS dsir_logratio
+    FROM b JOIN lr ON b.bucket = lr.bucket
+    GROUP BY b.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    log-ratio between a target distribution (lang='en' docs) and the
+    raw corpus, over 64 hashed unigram-feature buckets (polynomial
+    char fold mod 1000003 — expressible identically in both engines;
+    DuckDB's init-less list_reduce folds the same values because
+    0·31 + first = first).  Add-1 smoothing both sides.  Scale shape:
+    two 64-row bucket tables (bounded by CONSTRUCTION, so the
+    broadcast hint is justified — unlike the vocab-sized dims AQE now
+    sizes), one broadcast join back, one per-doc aggregate; the corpus
+    is scanned twice and never shuffled on a wide key."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("tok")),
+        lambda i: F.ascii(F.substring(F.col("tok"), i, F.lit(1))),
+    )
+    bucket = F.pmod(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: F.pmod(acc * 31 + c, F.lit(1000003)),
+        ),
+        F.lit(64),
+    )
+    b = toks.select("doc_id", "lang", bucket.alias("bucket"))
+    tgt = b.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    rawc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    totals = rawc.agg(F.sum("rc").alias("rt")).crossJoin(
+        tgt.agg(F.sum("tc").alias("tt"))
+    )
+    lr = (
+        rawc.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0)) / (F.col("tt") + F.lit(64.0)))
+                - F.log((F.col("rc") + F.lit(1.0)) / (F.col("rt") + F.lit(64.0)))
+            ).alias("w"),
+        )
+    )
+    return (
+        b.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("w"), 6).alias("dsir_logratio"),
+        )
+    )
+
+
 @query(
     "stratified_sample_deterministic",
     """
@@ -3901,6 +4202,11 @@ _PRIORITY = [
     "dedup_embedding_lsh",
     "ann_lsh_bucketed",
     # round-4 new + changed entries (need fresh official rows)
+    "kg_kcore_2core",
+    "kg_hits_scores",
+    "bpe_pair_merges",
+    "boilerplate_dup_grams",
+    "dsir_importance_weights",
     "semdedup_cluster_prune",
     "lpa_communities",
     "inverted_index_postings",

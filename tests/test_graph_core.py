@@ -1,0 +1,79 @@
+"""Hand-computed gates for the round-4 graph adds: k-core peeling
+(operators/kcore.py) and HITS hubs/authorities (operators/hits.py).
+DuckDB parity lives in the oracle gate — kg_kcore_2core's unrolled-peel
+twin and kg_hits_scores' closed-form CTE twin (tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+from scheduler_spark.operators.hits import hits
+from scheduler_spark.operators.kcore import kcore
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src_entity long, dst_entity long")
+
+
+def test_kcore_peels_tail_in_rounds(spark):
+    # triangle {1,2,3} with a 2-hop tail 3-4-5: the tail peels over TWO
+    # rounds (5 drops first, exposing 4) — pins the iterative fixpoint,
+    # not a single degree filter
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    out = {r["node_id"]: r["core_degree"] for r in kcore(e, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_empty_core_returns_no_rows(spark):
+    # a path graph has no 2-core; the loop must filter the edge frame
+    # before breaking so no stale edges leak into the result
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert kcore(e, k=2).count() == 0
+
+
+def test_kcore_ignores_selfloops_and_duplicates(spark):
+    # degree counts DISTINCT neighbors: (1,2)+(2,1)+(1,2) is one edge,
+    # (1,1) contributes nothing
+    e = _edges(spark, [(1, 1), (1, 2), (2, 1), (1, 2), (2, 3), (1, 3)])
+    out = {r["node_id"]: r["core_degree"] for r in kcore(e, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_k3_on_k4_minus_edge(spark):
+    # K4 missing one edge: nodes 1,2 have degree 3 but 3,4 have degree
+    # 2, so the 3-core is empty; the 2-core is the whole graph
+    e = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)])
+    assert kcore(e, k=3).count() == 0
+    assert kcore(e, k=2).count() == 4
+
+
+def test_hits_star_fixpoint(spark):
+    # 10→1←20: node 1 is the sole authority, 10/20 split hub mass
+    e = _edges(spark, [(10, 1), (20, 1)])
+    rows = {r["entity_id"]: r for r in hits(e, iterations=3).collect()}
+    assert abs(rows[1]["auth_score"] - 1.0) < 1e-12
+    assert abs(rows[1]["hub_score"]) < 1e-12
+    for n in (10, 20):
+        assert abs(rows[n]["hub_score"] - 0.5) < 1e-12
+        assert abs(rows[n]["auth_score"]) < 1e-12
+
+
+def test_hits_chain_two_iterations(spark):
+    # 1→2→3 by hand: iter1 auth (2: .5, 3: .5), hub (1: .5, 2: .5);
+    # iter2 reproduces the same vectors — a fixpoint the loop must hold
+    e = _edges(spark, [(1, 2), (2, 3)])
+    rows = {r["entity_id"]: r for r in hits(e, iterations=2).collect()}
+    assert abs(rows[1]["hub_score"] - 0.5) < 1e-12
+    assert abs(rows[2]["hub_score"] - 0.5) < 1e-12
+    assert abs(rows[3]["hub_score"]) < 1e-12
+    assert abs(rows[2]["auth_score"] - 0.5) < 1e-12
+    assert abs(rows[3]["auth_score"] - 0.5) < 1e-12
+    assert abs(rows[1]["auth_score"]) < 1e-12
+
+
+def test_hits_selfloop_only_node_gets_zero_scores(spark):
+    # a node whose only edge is a self-loop still appears (it is an
+    # endpoint) but never receives mass
+    e = _edges(spark, [(1, 2), (2, 1), (7, 7)])
+    rows = {r["entity_id"]: r for r in hits(e, iterations=2).collect()}
+    assert set(rows) == {1, 2, 7}
+    assert rows[7]["hub_score"] == 0.0 and rows[7]["auth_score"] == 0.0
+    assert abs(rows[1]["hub_score"] - 0.5) < 1e-12
