@@ -3664,6 +3664,81 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _walks_unrolled_sql(length: int) -> str:
+    """DuckDB twin of operators/walks.deterministic_walks on the
+    sparse numeric k-core graph: id-sorted ranked neighbors, next hop
+    = (start·31 + cur·7 + step) mod outdeg.  MATERIALIZED per level
+    for the same CTE-inlining reason as the k-core peel."""
+    parts = [
+        f"raw AS ({_KCORE_RAW_SQL})",
+        "fwd AS MATERIALIZED (SELECT DISTINCT u, v FROM raw WHERE u <> v)",
+        "ranked AS MATERIALIZED (SELECT u, v,"
+        " row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx,"
+        " count(*) OVER (PARTITION BY u) AS deg FROM fwd)",
+        "w0 AS MATERIALIZED (SELECT DISTINCT u AS start, u AS cur, 0 AS step FROM fwd)",
+    ]
+    for s in range(1, length + 1):
+        parts.append(
+            f"w{s} AS MATERIALIZED (SELECT w.start, r.v AS cur, {s} AS step "
+            f"FROM w{s-1} w JOIN ranked r ON w.cur = r.u "
+            f"WHERE r.idx = (w.start * 31 + r.u * 7 + {s}) % r.deg)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM w{s}" for s in range(0, length + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT start AS start_node, CAST(step AS BIGINT) AS step, cur AS node
+    FROM ({union})
+    """
+    )
+
+
+@query("kg_random_walks", _walks_unrolled_sql(3))
+def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-3 walk corpus over the sparse entity graph
+    (operators/walks.deterministic_walks) — the DeepWalk sentence
+    generator, hash-driven instead of RNG so both engines emit the
+    IDENTICAL corpus.  Integer-only, no ulp guard."""
+    from .operators.walks import deterministic_walks
+
+    return deterministic_walks(_kcore_graph_edges(spark, sf_dir), length=3)
+
+
+@query(
+    "sketch_distinct_users",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type, MEASURED
+    against the exact count in the gate (the recall-gate discipline:
+    sketch_ok is computed, not claimed).  At 100 TB the sketch is the
+    only viable per-key cardinality path — constant-size mergeable
+    state, one map-side-combined shuffle — while countDistinct
+    double-shuffles the raw key space; the gate pins the wiring and
+    the ≤5% error contract at rsd=0.02."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.lit(0.05) * F.col("n_exact")
+            ).alias("sketch_ok"),
+        )
+    )
+
+
 @query(
     "stratified_sample_deterministic",
     """
@@ -4204,9 +4279,11 @@ _PRIORITY = [
     # round-4 new + changed entries (need fresh official rows)
     "kg_kcore_2core",
     "kg_hits_scores",
+    "kg_random_walks",
     "bpe_pair_merges",
     "boilerplate_dup_grams",
     "dsir_importance_weights",
+    "sketch_distinct_users",
     "semdedup_cluster_prune",
     "lpa_communities",
     "inverted_index_postings",

@@ -77,3 +77,32 @@ def test_hits_selfloop_only_node_gets_zero_scores(spark):
     assert set(rows) == {1, 2, 7}
     assert rows[7]["hub_score"] == 0.0 and rows[7]["auth_score"] == 0.0
     assert abs(rows[1]["hub_score"] - 0.5) < 1e-12
+
+
+def test_deterministic_walks_hand_computed(spark):
+    from scheduler_spark.operators.walks import deterministic_walks
+
+    # ranked neighbors: 1→{2:idx0, 3:idx1} deg2; 2→{3:idx0} deg1; 3 sink
+    # walk(1) step1: (1·31 + 1·7 + 1) % 2 = 1 → node 3, then stops (sink)
+    # walk(2) step1: (2·31 + 2·7 + 1) % 1 = 0 → node 3, then stops
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    rows = {
+        (r["start_node"], r["step"], r["node"])
+        for r in deterministic_walks(e, length=3).collect()
+    }
+    assert rows == {(1, 0, 1), (2, 0, 2), (1, 1, 3), (2, 1, 3)}
+
+
+def test_deterministic_walks_follow_chain_full_length(spark):
+    from scheduler_spark.operators.walks import deterministic_walks
+
+    # a chain is degree-1 everywhere: every alive walk must advance one
+    # hop per step until the sink, never skip or fork
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    rows = {
+        (r["start_node"], r["step"], r["node"])
+        for r in deterministic_walks(e, length=2).collect()
+    }
+    assert {(1, 0, 1), (1, 1, 2), (1, 2, 3)} <= rows
+    assert {(3, 0, 3), (3, 1, 4)} <= rows
+    assert (3, 2, 4) not in rows  # sink reached, walk stopped
