@@ -598,3 +598,65 @@ def ngram_jaccard_pairs(
         .filter(F.col("jac") >= threshold)
         .select("doc_a", "doc_b", "jac")
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT Jaccard-join via prefix filtering (Chaudhuri et al.
+    ICDE'06; Bayardo et al. WWW'07; Xiao et al. WWW'08 PPJoin) — the
+    scale path that returns the SAME pairs as ngram_jaccard_pairs
+    without the O(block²) self-join.
+
+    Prefix-filter lemma: order every doc's shingle set by ascending
+    global document frequency (rarest first, token id tie-break); any
+    pair with J ≥ t shares at least ⌈t·|A|⌉ shingles, so the two
+    prefixes of length |A| − ⌈t·|A|⌉ + 1 must intersect.  Candidates
+    therefore come from an equi-join on PREFIX tokens only, and the
+    shared _verify_exact_jaccard computes the exact score — complete
+    (no recall loss) by construction.
+
+    Scale shape: one token-df aggregation, one df join-back + per-doc
+    window to rank, one prefix-token equi-join, then the bounded
+    verify.  Prefix tokens are the RAREST in each doc, so posting
+    lists on the join key are short by selection; the all-pairs
+    explosion of the naive path cannot reappear unless near-duplicate
+    prefixes genuinely repeat — exactly the pairs we must emit.
+    Everything is an equi-join / window on AQE-partitionable keys; no
+    driver state, no cartesian.
+    """
+    base = (
+        _minhash_base(df, id_col, text_col, block_col, n)
+        .withColumn("n", F.size("s"))
+        .localCheckpoint()
+    )
+    toks = base.select("doc_id", "block", "n", F.explode("s").alias("tok"))
+    dftab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    w = Window.partitionBy("doc_id").orderBy("tdf", "tok")
+    # −1e-9 guards the ceil against upward float noise when t·n is
+    # integral (a too-short prefix would break completeness; a longer
+    # one only adds candidates)
+    plen = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+        + 1
+    )
+    pref = (
+        toks.join(dftab, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= plen)
+        .select("doc_id", "block", "tok")
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "block", "tok")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "block", "tok"), ["block", "tok"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _verify_exact_jaccard(cand, base, base, "doc_a", "doc_b", threshold)

@@ -1811,6 +1811,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_jaccard_prefix",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(0, greatest(len(text)-2, 1)),
+                                          i -> substr(text, i+1, 3))) AS s
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) >= 0.7
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard pairs via prefix filtering
+    (operators/dedup.prefix_jaccard_pairs, PPJoin family) — the scale
+    twin of dedup_ngram_jaccard that replaces the O(block²) self-join
+    with a rarest-first prefix-token equi-join, provably complete (no
+    recall threshold needed: the oracle IS the quadratic contract and
+    the hashes must match row-for-row)."""
+    from .operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        id_col="doc_id", text_col="text", block_col="source", threshold=0.7,
+    )
+
+
 def _cosine(e_a, e_b):
     dot = F.aggregate(
         F.zip_with(e_a, e_b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -4284,6 +4315,7 @@ _PRIORITY = [
     "boilerplate_dup_grams",
     "dsir_importance_weights",
     "sketch_distinct_users",
+    "dedup_jaccard_prefix",
     "semdedup_cluster_prune",
     "lpa_communities",
     "inverted_index_postings",

@@ -346,3 +346,54 @@ def test_ivfpq_index_model_must_pair(spark):
     m = train_pq_model(df, n_lists=2, m_subspaces=2, n_codes=2, train_sample=2)
     with pytest.raises(ValueError, match="both index and model"):
         ivfpq_ann_topk(df, df, model=m)
+
+
+def test_prefix_jaccard_equals_quadratic_on_corpus(spark):
+    """Completeness of the prefix filter: the PPJoin-style path must
+    return EXACTLY the quadratic yardstick's pairs (same jac values)
+    on the real sf0.001 corpus — no recall threshold, set equality."""
+    from scheduler_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fast = {
+        (p.doc_a, p.doc_b, p.jac)
+        for p in prefix_jaccard_pairs(df, block_col="source", threshold=0.7).collect()
+    }
+    slow = {
+        (p.doc_a, p.doc_b, round(p.jac, 6))
+        for p in ngram_jaccard_pairs(df, block_col="source", threshold=0.7).collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
+def test_prefix_jaccard_integral_boundary(spark):
+    """t·n integral is the ceil-noise hazard: two docs sharing exactly
+    7 of 10 shingles sit on the J=0.7*… boundary family; the −1e-9
+    ceil guard must keep the prefix long enough to find them."""
+    from scheduler_spark.operators.dedup import prefix_jaccard_pairs
+
+    # identical docs → J=1.0 ≥ 0.7 must survive any prefix-length noise
+    rows = [
+        (1, "abcdefghijkl", "a"),
+        (2, "abcdefghijkl", "a"),   # exact duplicate: J = 1.0
+        (3, "zzzzyyyyxxxx", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (p.doc_a, p.doc_b)
+        for p in prefix_jaccard_pairs(df, block_col="source", threshold=0.7).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_prefix_jaccard_plan_is_equi_join(spark):
+    """The candidate stage must never degrade to a cartesian/BNL join:
+    the block² shape is exactly what this operator exists to avoid."""
+    from scheduler_spark.operators.dedup import prefix_jaccard_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = prefix_jaccard_pairs(
+        df, block_col="source", threshold=0.7
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
