@@ -3771,6 +3771,73 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_percentile_value",
+    """
+    SELECT event_type, round(quantile_cont(value, 0.95), 6) AS p95_exact,
+           TRUE AS sketch_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-style quantile sketch gate: percentile_approx MEASURED
+    against the exact interpolated percentile per event type (±2%).
+    The exact percentile buffers every value per group — the sketch is
+    the only bounded-state path at 100 TB; both engines use the same
+    (n−1)·p continuous interpolation so p95_exact hashes match."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.95)").alias("p95e"),
+            F.percentile_approx("value", 0.95, 10000).alias("p95a"),
+        )
+        .select(
+            "event_type",
+            F.round("p95e", 6).alias("p95_exact"),
+            (
+                F.abs(F.col("p95a") - F.col("p95e"))
+                <= F.lit(0.02) * F.abs(F.col("p95e"))
+            ).alias("sketch_ok"),
+        )
+    )
+
+
+@query(
+    "sketch_frequent_items",
+    """
+    WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
+    t AS (SELECT count(*) AS n FROM events)
+    SELECT CAST(count(*) AS BIGINT) AS n_frequent, TRUE AS all_found
+    FROM c, t WHERE c.cnt >= 0.1 * t.n
+    """,
+)
+def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries-style heavy-hitters gate: DataFrame.stat.freqItems
+    (single-pass, bounded state) must contain EVERY exactly-frequent
+    item at support 0.1 — the superset contract the sketch guarantees,
+    measured (all_found computed by joining the approx result against
+    the exact frequent set, never claimed)."""
+    ev = _t(spark, sf_dir, "events")
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(ev.agg(F.count(F.lit(1)).alias("n")))
+        .filter(F.col("cnt") >= F.lit(0.1) * F.col("n"))
+        .select("event_type")
+    )
+    fi = ev.stat.freqItems(["event_type"], 0.1)
+    hits = exact.crossJoin(F.broadcast(fi)).select(
+        F.array_contains(F.col("event_type_freqItems"), F.col("event_type")).alias(
+            "hit"
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_frequent"),
+        F.expr("bool_and(hit)").alias("all_found"),
+    )
+
+
+@query(
     "stratified_sample_deterministic",
     """
     SELECT doc_id, source FROM documents
@@ -4315,6 +4382,8 @@ _PRIORITY = [
     "boilerplate_dup_grams",
     "dsir_importance_weights",
     "sketch_distinct_users",
+    "sketch_percentile_value",
+    "sketch_frequent_items",
     "dedup_jaccard_prefix",
     "semdedup_cluster_prune",
     "lpa_communities",
