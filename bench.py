@@ -67,6 +67,15 @@ HEADLINE = [
     "semdedup_cluster_prune",
     "lpa_communities",
     "inverted_index_postings",
+    # round-4 adds (second batch): the prefix-filtered EXACT Jaccard
+    # join (same contract as dedup_ngram_jaccard without the block²
+    # self-join — compare the two rows directly), the Lee-et-al
+    # duplicated-span flags, and DSIR importance weights; all
+    # corpus-proportional (the constant-size graph gates are not
+    # informative at sf and stay out)
+    "dedup_jaccard_prefix",
+    "boilerplate_dup_grams",
+    "dsir_importance_weights",
 ]
 
 KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))
