@@ -3838,6 +3838,87 @@ def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_user_status",
+    """
+    WITH x AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    c AS (SELECT * FROM x WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type,
+           CAST(ts_us AS BIGINT) AS valid_from_us,
+           CAST(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                AS BIGINT) AS valid_to_us
+    FROM c
+    """,
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build (Kimball slowly-changing type 2): collapse
+    each user's event stream into status-change intervals — keep only
+    rows whose event_type differs from the previous one, then
+    valid_to = next change's timestamp (NULL = current).  Two window
+    passes over the SAME (user_id-ordered) partitioning, so Spark
+    reuses one shuffle for both; epoch-µs BIGINT endpoints avoid
+    cross-engine timestamp formatting entirely."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    changes = marked.filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").cast("long").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).cast("long").alias("valid_to_us"),
+    )
+
+
+@query(
+    "decayed_user_scores",
+    """
+    WITH m AS (SELECT max(epoch_us(ts)) AS ref FROM events),
+    s AS (
+      SELECT user_id,
+             sum(value * exp(-CAST(m.ref - epoch_us(ts) AS DOUBLE)
+                             / 604800000000.0)) AS dec
+      FROM events, m GROUP BY user_id)
+    SELECT user_id, round(dec, 6) AS decayed_score
+    FROM s ORDER BY round(dec, 6) DESC, user_id LIMIT 50
+    """,
+)
+def decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score (7-day time
+    constant, anchored to the corpus max timestamp so both engines and
+    any rerun agree) — the standard recency-weighted rollup a feature
+    store materializes.  One scalar max + one map-side-combined
+    groupBy; ranked on the ROUNDED score with a user tie-break
+    (ulp-safe, the tfidf pattern)."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ref = e.agg(F.max(us).alias("ref"))
+    dec = F.sum(
+        F.col("value")
+        * F.exp(-(F.col("ref") - us).cast("double") / F.lit(604800000000.0))
+    )
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(F.round(dec, 6).alias("decayed_score"))
+        .orderBy(F.desc("decayed_score"), "user_id")
+        .limit(50)
+    )
+
+
+@query(
     "stratified_sample_deterministic",
     """
     SELECT doc_id, source FROM documents
@@ -4385,6 +4466,8 @@ _PRIORITY = [
     "sketch_percentile_value",
     "sketch_frequent_items",
     "dedup_jaccard_prefix",
+    "scd2_user_status",
+    "decayed_user_scores",
     "semdedup_cluster_prune",
     "lpa_communities",
     "inverted_index_postings",
