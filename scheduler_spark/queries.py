@@ -3667,20 +3667,23 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(64),
     )
     b = toks.select("doc_id", "lang", bucket.alias("bucket"))
-    tgt = b.filter(F.col("lang") == "en").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("tc")
+    # ONE conditional aggregation produces both distributions (buckets
+    # in target are a subset of raw, so tc=0 rows fall out naturally) —
+    # the corpus is tokenized twice total: once here, once in the
+    # weight join below
+    counts = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
     )
-    rawc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    totals = rawc.agg(F.sum("rc").alias("rt")).crossJoin(
-        tgt.agg(F.sum("tc").alias("tt"))
+    totals = counts.agg(
+        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
     )
     lr = (
-        rawc.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             (
-                F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0)) / (F.col("tt") + F.lit(64.0)))
+                F.log((F.col("tc") + F.lit(1.0)) / (F.col("tt") + F.lit(64.0)))
                 - F.log((F.col("rc") + F.lit(1.0)) / (F.col("rt") + F.lit(64.0)))
             ).alias("w"),
         )
