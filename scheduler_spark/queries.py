@@ -3841,6 +3841,40 @@ def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_ancestor_closure",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT (o_orderkey * o_orderkey + 1) % 149 AS n
+      FROM orders WHERE o_orderkey < 700),
+    e AS (SELECT n AS u, (n - 1) // 3 AS v FROM nodes WHERE n >= 1),
+    tc AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT tc.u, e.v FROM tc JOIN e ON tc.v = e.u
+    )
+    SELECT u AS src_entity, v AS dst_entity FROM tc
+    """,
+)
+def kg_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ancestor closure of a deterministic entity hierarchy
+    (operators/closure.transitive_closure, semi-naive datalog TC):
+    every (node, ancestor) pair at ANY depth — the subclass/part-of
+    expansion the fixed-depth 3-hop chain can't express.  The engine
+    loops frontier ⨝ base with per-round localCheckpoint; the oracle
+    is DuckDB's recursive CTE.  Integer-only."""
+    from .operators.closure import transitive_closure
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 700)
+    n = F.pmod(F.col("o_orderkey") * F.col("o_orderkey") + 1, F.lit(149))
+    nodes = o.select(n.alias("n")).distinct().filter(F.col("n") >= 1)
+    edges = nodes.select(
+        F.col("n").alias("src_entity"),
+        F.expr("(n - 1) div 3").cast("long").alias("dst_entity"),
+    )
+    return transitive_closure(edges)
+
+
+@query(
     "scd2_user_status",
     """
     WITH x AS (
@@ -4471,6 +4505,7 @@ _PRIORITY = [
     "dedup_jaccard_prefix",
     "scd2_user_status",
     "decayed_user_scores",
+    "kg_ancestor_closure",
     "semdedup_cluster_prune",
     "lpa_communities",
     "inverted_index_postings",

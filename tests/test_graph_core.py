@@ -106,3 +106,32 @@ def test_deterministic_walks_follow_chain_full_length(spark):
     assert {(1, 0, 1), (1, 1, 2), (1, 2, 3)} <= rows
     assert {(3, 0, 3), (3, 1, 4)} <= rows
     assert (3, 2, 4) not in rows  # sink reached, walk stopped
+
+
+def test_transitive_closure_chain_and_diamond(spark):
+    from scheduler_spark.operators.closure import transitive_closure
+
+    # chain 1→2→3→4 plus diamond 1→5, 5→4: closure must contain every
+    # reachable pair exactly once (the two 1→4 paths collapse)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (1, 5), (5, 4)])
+    got = {
+        (r["src_entity"], r["dst_entity"])
+        for r in transitive_closure(e).collect()
+    }
+    assert got == {
+        (1, 2), (1, 3), (1, 4), (1, 5),
+        (2, 3), (2, 4), (3, 4), (5, 4),
+    }
+
+
+def test_transitive_closure_cycle_terminates(spark):
+    from scheduler_spark.operators.closure import transitive_closure
+
+    # 1→2→1 cycle: self-pairs are excluded by contract and the
+    # anti-join must reach the fixpoint instead of looping forever
+    e = _edges(spark, [(1, 2), (2, 1), (2, 3)])
+    got = {
+        (r["src_entity"], r["dst_entity"])
+        for r in transitive_closure(e).collect()
+    }
+    assert got == {(1, 2), (2, 1), (1, 3), (2, 3)}
