@@ -3535,7 +3535,7 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair space is bounded by charset² (36² here), so the aggregate
     state is constant-size regardless of corpus bytes — the per-merge
     cost of distributed BPE training at 100 TB is one such pass."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     words = d.select(
         F.explode(
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
@@ -3581,20 +3581,22 @@ def boilerplate_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span flags (Lee et al. 2022): the fraction of a
     document's word 8-grams that occur ≥2 times corpus-wide; keep iff
     dup fraction ≤ 20%.  The keep rule is the INTEGER comparison
-    5·n_dup ≤ n_grams, so the gate is float-free.  Scale shape: the
-    shuffle key is the gram (sha-narrowable), one count aggregate +
-    one equi-join back — never doc×doc; at 100 TB this is the same
+    5·n_dup ≤ n_grams, so the gate is float-free.  Scale shape: grams
+    are xxhash64-narrowed to 8 bytes BEFORE the shuffle (the counts
+    and the join-back never move the ~50-char strings; in-corpus
+    collision odds ~1e-13 at 1e6 grams), one count aggregate + one
+    equi-join back — never doc×doc; at 100 TB this is the same
     two-pass profile as contamination_overlap, with the gram
     dictionary AQE-partitioned."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     t = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
     grams = F.when(
         F.size(t) >= 8,
         F.transform(
             F.sequence(F.lit(1), F.size(t) - 7),
-            lambda i: F.array_join(F.slice(t, i, F.lit(8)), " "),
+            lambda i: F.xxhash64(F.array_join(F.slice(t, i, F.lit(8)), " ")),
         ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
     g = d.select("doc_id", F.explode(grams).alias("gram"))
     c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gn"))
     dup = F.sum(F.when(F.col("gn") >= 2, 1).otherwise(0))
@@ -3646,7 +3648,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hint is justified — unlike the vocab-sized dims AQE now
     sizes), one broadcast join back, one per-doc aggregate; the corpus
     is scanned twice and never shuffled on a wide key."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         "lang",
