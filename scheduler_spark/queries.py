@@ -3958,6 +3958,95 @@ def decayed_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_view_click_purchase",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+      FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM f
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view → click → purchase, strict
+    first-occurrence ordering): ONE conditional-min aggregation per
+    user builds the whole funnel — no self-joins, no window sort, one
+    map-side-combined shuffle on user_id at any event volume.  NULL
+    comparisons are three-valued on both engines, so missing stages
+    drop out of later counts identically."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def first(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, us))
+
+    f = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_buy"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_view"),
+        F.sum(F.when(F.col("t_view") < F.col("t_click"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_buy")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_converted"),
+    )
+
+
+@query(
+    "retention_weekly_cohorts",
+    """
+    WITH w AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT) AS week
+      FROM events),
+    first_w AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id)
+    SELECT f.cohort, CAST(w.week - f.cohort AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM w JOIN first_w f ON w.user_id = f.user_id
+    GROUP BY f.cohort, week_offset
+    """,
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users keyed by first-active
+    week, counted at each later week offset — the standard growth
+    rollup.  Two user_id-keyed aggregations and one equi-join (AQE
+    sizes it; the distinct-week frame is per-user-week, orders of
+    magnitude smaller than raw events); epoch-week integer arithmetic
+    matches both engines exactly."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(604800000000.0)
+    ).cast("long")
+    w = ev.select("user_id", week.alias("week")).distinct()
+    first_w = w.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        w.join(first_w, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+@query(
     "stratified_sample_deterministic",
     """
     SELECT doc_id, source FROM documents
@@ -4508,6 +4597,8 @@ _PRIORITY = [
     "scd2_user_status",
     "decayed_user_scores",
     "kg_ancestor_closure",
+    "funnel_view_click_purchase",
+    "retention_weekly_cohorts",
     "semdedup_cluster_prune",
     "lpa_communities",
     "inverted_index_postings",
