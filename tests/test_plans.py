@@ -241,3 +241,24 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, v)
+
+
+def test_scd2_reuses_one_user_shuffle(spark, sf_dir):
+    """Both window passes partition by user_id, so the executed plan
+    must carry exactly ONE hash exchange (a second one would mean the
+    change-filter broke the partitioning reuse)."""
+    from scheduler_spark import queries as q
+
+    plan = _plan(q.scd2_user_status(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_funnel_is_two_aggregates_no_join(spark, sf_dir):
+    """The ordered funnel must stay one conditional-min aggregation
+    plus one global rollup — a Join or a Window here means someone
+    reintroduced the self-join-per-stage shape."""
+    from scheduler_spark import queries as q
+
+    plan = _plan(q.funnel_view_click_purchase(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
