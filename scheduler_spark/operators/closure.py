@@ -35,7 +35,14 @@ def transitive_closure(
     """Directed edge list → DataFrame(src_entity, dst_entity): every
     pair connected by a directed path of length ≥ 1.  Self-loops are
     dropped; cycles are safe (the anti-join makes each pair appear
-    once, so the loop terminates at the closure fixpoint)."""
+    once, so the loop terminates at the closure fixpoint).  Raises if
+    ``max_rounds`` is exhausted before the fixpoint — a silently
+    truncated closure is worse than no closure.
+
+    The constraint-propagation toggle below mutates SESSION-scoped
+    conf for the loop's duration: safe for the sequential driver
+    contract this engine runs under, NOT re-entrant for concurrent
+    planners on the same session."""
     spark = edges.sparkSession
     # Spark 4.1 bug guard: UnionBase.rewriteConstraints resolves the
     # union's inherited constraints against attribute ids that a
@@ -56,6 +63,7 @@ def transitive_closure(
         )
         closure = base
         frontier = base
+        done = False
         for _ in range(max_rounds):
             new = (
                 frontier.alias("f")
@@ -67,9 +75,16 @@ def transitive_closure(
                 .localCheckpoint()
             )
             if new.count() == 0:
+                done = True
                 break
             closure = closure.unionByName(new).localCheckpoint()
             frontier = new
+        if not done:
+            raise RuntimeError(
+                f"transitive_closure did not reach a fixpoint within "
+                f"{max_rounds} rounds (longest path exceeds the bound); "
+                f"raise max_rounds"
+            )
     finally:
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev)
     return closure.select(

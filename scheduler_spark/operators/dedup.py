@@ -639,8 +639,11 @@ def prefix_jaccard_pairs(
     dftab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
     w = Window.partitionBy("doc_id").orderBy("tdf", "tok")
     # −1e-9 guards the ceil against upward float noise when t·n is
-    # integral (a too-short prefix would break completeness; a longer
-    # one only adds candidates)
+    # integral — defense-in-depth: a longer prefix only adds
+    # candidates, and the per-side α=⌈t·n⌉ prefix bound carries slack
+    # vs the pair bound ⌈t(na+nb)/(1+t)⌉, so even a one-short prefix
+    # stays complete at practical thresholds; the guard removes the
+    # dependence on that slack
     plen = (
         F.col("n")
         - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")

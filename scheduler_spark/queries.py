@@ -3628,7 +3628,8 @@ def boilerplate_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     rawc AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
     lr AS (
       SELECT r.bucket,
-             ln((coalesce(t.tc, 0) + 1.0) / ((SELECT sum(tc) FROM tgt) + 64.0))
+             ln((coalesce(t.tc, 0) + 1.0)
+                / ((SELECT coalesce(sum(tc), 0) FROM tgt) + 64.0))
            - ln((r.rc + 1.0) / ((SELECT sum(rc) FROM rawc) + 64.0)) AS w
       FROM rawc r LEFT JOIN tgt t ON r.bucket = t.bucket)
     SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -3800,8 +3801,10 @@ def sketch_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.round("p95e", 6).alias("p95_exact"),
             (
+                # +1e-9 absolute floor: a group whose exact p95 is 0
+                # would otherwise demand exact equality of the sketch
                 F.abs(F.col("p95a") - F.col("p95e"))
-                <= F.lit(0.02) * F.abs(F.col("p95e"))
+                <= F.lit(0.02) * F.abs(F.col("p95e")) + F.lit(1e-9)
             ).alias("sketch_ok"),
         )
     )
@@ -3813,21 +3816,24 @@ def sketch_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type),
     t AS (SELECT count(*) AS n FROM events)
     SELECT CAST(count(*) AS BIGINT) AS n_frequent, TRUE AS all_found
-    FROM c, t WHERE c.cnt >= 0.1 * t.n
+    FROM c, t WHERE c.cnt > 0.1 * t.n
     """,
 )
 def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries-style heavy-hitters gate: DataFrame.stat.freqItems
-    (single-pass, bounded state) must contain EVERY exactly-frequent
-    item at support 0.1 — the superset contract the sketch guarantees,
-    measured (all_found computed by joining the approx result against
-    the exact frequent set, never claimed)."""
+    (single-pass, bounded state) must contain every item whose
+    frequency is STRICTLY above the 0.1 support — the exact superset
+    contract the sketch guarantees (boundary items at exactly
+    support·n are outside it, hence the strict > on both sides) —
+    measured by joining the approx result against the exact frequent
+    set, never claimed.  bool_and over an empty frequent set is NULL,
+    coalesced to the contract's vacuous TRUE to match the oracle."""
     ev = _t(spark, sf_dir, "events")
     exact = (
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .crossJoin(ev.agg(F.count(F.lit(1)).alias("n")))
-        .filter(F.col("cnt") >= F.lit(0.1) * F.col("n"))
+        .filter(F.col("cnt") > F.lit(0.1) * F.col("n"))
         .select("event_type")
     )
     fi = ev.stat.freqItems(["event_type"], 0.1)
@@ -3838,7 +3844,7 @@ def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.agg(
         F.count(F.lit(1)).cast("long").alias("n_frequent"),
-        F.expr("bool_and(hit)").alias("all_found"),
+        F.coalesce(F.expr("bool_and(hit)"), F.lit(True)).alias("all_found"),
     )
 
 

@@ -366,13 +366,16 @@ def test_prefix_jaccard_equals_quadratic_on_corpus(spark):
     assert fast == slow and len(fast) > 0
 
 
-def test_prefix_jaccard_integral_boundary(spark):
-    """t·n integral is the ceil-noise hazard: two docs sharing exactly
-    7 of 10 shingles sit on the J=0.7*… boundary family; the −1e-9
-    ceil guard must keep the prefix long enough to find them."""
+def test_prefix_jaccard_integral_prefix_length(spark):
+    """n=10 shingles at t=0.7 makes t·n integral — the ceil-noise
+    input class the operator's −1e-9 guard covers.  A qualifying pair
+    at this size must still be found.  (The guard itself is
+    defense-in-depth: per the docstring math, even a one-token-short
+    prefix stays complete at these thresholds because the per-side
+    α=⌈t·n⌉ bound is looser than the pair bound — so this pins the
+    input class, no fixture can make the guard itself load-bearing.)"""
     from scheduler_spark.operators.dedup import prefix_jaccard_pairs
 
-    # identical docs → J=1.0 ≥ 0.7 must survive any prefix-length noise
     rows = [
         (1, "abcdefghijkl", "a"),
         (2, "abcdefghijkl", "a"),   # exact duplicate: J = 1.0
