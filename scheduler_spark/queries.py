@@ -4053,6 +4053,56 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "table_profile_events",
+    """
+    SELECT 'event_type' AS col_name,
+           CAST(count(*) - count(event_type) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT) FROM events
+    """,
+)
+def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling rollup (per-column null + distinct counts) — the
+    gated twin of catalog.collect_stats (the pytest-only ANALYZE
+    analog).  ONE aggregation computes every column's metrics
+    (count-ignores-null + count distinct), then a 3-row unpivot; the
+    oracle's UNION ALL of per-column scans is the naive contract.  At
+    100 TB this is the single-pass profile a planner or data-quality
+    monitor consumes."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for c in ("event_type", "user_id", "value")
+            for x in (
+                F.count(c).alias(f"nn_{c}"),
+                F.countDistinct(c).alias(f"nd_{c}"),
+            )
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "'event_type', n - nn_event_type, nd_event_type, "
+            "'user_id',    n - nn_user_id,    nd_user_id, "
+            "'value',      n - nn_value,      nd_value) "
+            "AS (col_name, n_null, n_distinct)"
+        )
+    ).select(
+        "col_name",
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+@query(
     "stratified_sample_deterministic",
     """
     SELECT doc_id, source FROM documents
@@ -4605,6 +4655,7 @@ _PRIORITY = [
     "kg_ancestor_closure",
     "funnel_view_click_purchase",
     "retention_weekly_cohorts",
+    "table_profile_events",
     "semdedup_cluster_prune",
     "lpa_communities",
     "inverted_index_postings",
