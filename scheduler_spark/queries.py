@@ -4632,14 +4632,7 @@ _ROWS_ONLY: dict[str, Query] = {
 # position ~50 already has a green row in CORRECTNESS_r01-r03 and a
 # replica pass; the tail order keeps that archive stable.
 _PRIORITY = [
-    # rows-only scale paths — ann_ivfpq first (never had a driver row)
     "ann_ivfpq",
-    "ann_ivf",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "ann_lsh_bucketed",
-    # round-4 new + changed entries (need fresh official rows)
     "kg_kcore_2core",
     "kg_hits_scores",
     "kg_random_walks",
@@ -4673,7 +4666,6 @@ _PRIORITY = [
     "corpus_mix_weights",
     "tfidf_top_terms",
     "bigram_logprob_score",
-    # approximate-path recall gates (measured, oracle-recomputed truth)
     "dedup_minhash_lsh_recall",
     "ann_ivf_recall",
     "ann_ivfpq_recall",
@@ -4681,19 +4673,21 @@ _PRIORITY = [
     "dedup_simhash_recall",
     "dedup_cluster_keepers",
     "simhash_bucket_stats",
-    # KG pipeline goldens + graph ops
     "kg_pipeline_triples",
     "kg_3hop_chain",
     "kg_entity_degree_topk",
     "connected_components_oracle",
     "graph_bfs_distances",
-    # dedup / ANN (exact yardsticks first, then the fingerprint ops)
+    "ann_ivf",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "ann_lsh_bucketed",
     "dedup_exact_by_fingerprint",
     "doc_fingerprint",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_cosine_topk",
-    # training-data ops
     "sequence_packing",
     "interval_join_click_purchase",
     "group_percentiles",
@@ -4712,12 +4706,10 @@ _PRIORITY = [
     "winnow_doc_fingerprints",
     "winnow_copy_pairs",
     "token_cooccurrence_pmi",
-    # round-3 quality suite + KG linking/ranking (r03-green)
     "quality_gopher_rules",
     "repetition_collapse",
     "pii_redaction",
     "pagerank_entity_rank",
-    # flagship relational gates (r02-green; re-verified inside the window)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -4735,9 +4727,7 @@ _PRIORITY = [
     "release_rollup_per_source",
     "content_hash_invariant",
     "chunk_documents",
-    # everything past here was green in CORRECTNESS_r02.json
 ]
-
 
 def all_queries() -> dict[str, Query]:
     out = dict(_SPARK_QUERIES)
