@@ -622,13 +622,25 @@ def prefix_jaccard_pairs(
     (no recall loss) by construction.
 
     Scale shape: one token-df aggregation, one df join-back + per-doc
-    window to rank, one prefix-token equi-join, then the bounded
-    verify.  Prefix tokens are the RAREST in each doc, so posting
-    lists on the join key are short by selection; the all-pairs
-    explosion of the naive path cannot reappear unless near-duplicate
-    prefixes genuinely repeat — exactly the pairs we must emit.
-    Everything is an equi-join / window on AQE-partitionable keys; no
-    driver state, no cartesian.
+    window to rank, one prefix-token equi-join carrying only
+    (id, 8-byte token, position, set size) — never the shingle arrays —
+    then PPJoin's length + positional filters cut the candidate set
+    BEFORE the array-carrying verify join.  Prefix tokens are the
+    RAREST in each doc, so posting lists on the join key are short by
+    selection; the all-pairs explosion of the naive path cannot
+    reappear unless near-duplicate prefixes genuinely repeat — exactly
+    the pairs we must emit.  Everything is an equi-join / window on
+    AQE-partitionable keys; no driver state, no cartesian.
+
+    Candidate-stage filters (both sound, both BEFORE any array travels):
+    - length filter: J ≥ t forces t·|A| ≤ |B| ≤ |A|/t — applied on the
+      prefix-join rows (each side carries its set size).
+    - positional filter (PPJoin lemma 1): prefix positions follow ONE
+      global order (ascending df, token tie-break), so the minimal
+      shared-PREFIX token of a pair is its minimal shared token
+      overall; with that token at positions (i, j),
+      |A∩B| ≤ 1 + min(|A|−i, |B|−j), which must reach the pair's
+      overlap threshold α = ⌈t·(|A|+|B|)/(1+t)⌉.
     """
     base = (
         _minhash_base(df, id_col, text_col, block_col, n)
@@ -653,13 +665,150 @@ def prefix_jaccard_pairs(
         toks.join(dftab, "tok")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= plen)
-        .select("doc_id", "block", "tok")
+        .select("doc_id", "block", "tok", "pos", "n")
+    )
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"), "block", "tok",
+        F.col("pos").alias("ia"), F.col("n").alias("na"),
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"), "block", "tok",
+        F.col("pos").alias("jb"), F.col("n").alias("nb"),
+    )
+    # α: minimum |A∩B| for J ≥ t (same −1e-9 integral-ceil guard — a
+    # LOWER α only loosens the prune, never drops a true pair)
+    alpha = F.ceil(
+        F.lit(threshold) / F.lit(1.0 + threshold) * (F.col("na") + F.col("nb"))
+        - F.lit(1e-9)
     )
     cand = (
-        pref.select(F.col("doc_id").alias("doc_a"), "block", "tok")
-        .join(pref.select(F.col("doc_id").alias("doc_b"), "block", "tok"), ["block", "tok"])
+        pa.join(pb, ["block", "tok"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter on the join rows, before the pair rollup
+        .filter(
+            (F.col("nb") >= F.lit(threshold) * F.col("na"))
+            & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+        )
+        # pair rollup: min positions pick the pair's globally-minimal
+        # shared token on BOTH sides (consistent order ⇒ same token)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("ia").alias("ia"), F.min("jb").alias("jb"),
+            F.min("na").alias("na"), F.min("nb").alias("nb"),
+        )
+        # positional filter: best-case remaining overlap must reach α
+        .filter(
+            F.lit(1) + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
+            >= alpha
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     return _verify_exact_jaccard(cand, base, base, "doc_a", "doc_b", threshold)
+
+
+def exact_substr_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 8,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", §4.2): excise every
+    token span of ≥ min_len tokens that occurs more than once
+    corpus-wide, from EVERY occurrence (the released suffix-array
+    tool's self-similar mode removes all duplicated byte ranges; this
+    is the token-gram formulation of the same contract).  The flagging
+    half of this lives in queries.boilerplate_dup_grams; this operator
+    emits the cleaned documents.
+
+    ≈ the reference's content-hash canonicalization which dedups at
+    whole-artifact granularity (/root/reference/docs/hdt.md:12-16);
+    span-level excision is the training-pipeline generalization.
+
+    Distributed shape (suffix arrays don't distribute; gram profiles
+    do):
+    1. tokenize (lowercase [a-z0-9]+ runs, the corpus-wide convention);
+    2. min_len-gram starts, xxhash64-narrowed to 8 bytes BEFORE the
+       count shuffle (never the ~50-char strings);
+    3. corpus-wide gram counts; a gram with count ≥ 2 is duplicated;
+    4. a token at position p is covered iff SOME duplicated gram starts
+       in [p−min_len+1, p] — ONE streaming window per doc
+       (ROWS min_len−1 PRECEDING, every position materialized, so the
+       frame is exact), which merges overlapping spans for free;
+    5. rebuild the text from uncovered tokens (order pinned by
+       sort_array over (pos, tok) structs).
+
+    Caveats (documented, deterministic): operates on the normalized
+    token stream, so punctuation/casing are not reconstructed;
+    removing a span can create NEW adjacencies that form fresh grams —
+    like the suffix-array original, the pass is single-shot, not
+    iterated to fixpoint.  Cost: one explode to corpus-token rows, one
+    8-byte-key count shuffle, one join-back, one per-doc window + one
+    rollup — linear in corpus tokens, never doc×doc; per-doc state is
+    bounded by max document length.
+    """
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    t = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    toks = d.select("doc_id", F.posexplode(t).alias("pos", "tok")).withColumn(
+        "pos", F.col("pos") + 1
+    )
+    grams = F.when(
+        F.size(t) >= min_len,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (min_len - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(t, i, F.lit(min_len)), " ")),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    g = d.select("doc_id", F.posexplode(grams).alias("gpos", "gram")).withColumn(
+        "gpos", F.col("gpos") + 1
+    )
+    c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gn"))
+    dup_starts = (
+        g.join(c, "gram")
+        .filter(F.col("gn") >= 2)
+        .select("doc_id", F.col("gpos").alias("pos"), F.lit(1).alias("dup_start"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(min_len - 1), 0)
+    )
+    marked = (
+        toks.join(dup_starts, ["doc_id", "pos"], "left")
+        .withColumn("covered", F.max(F.coalesce("dup_start", F.lit(0))).over(w) == 1)
+    )
+    kept = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("covered"),
+                                F.struct(F.col("pos"), F.col("tok")),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("covered"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+    # zero-token docs never reach the token rows; keep them with empty
+    # output so the operator is total over its input
+    return (
+        d.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )

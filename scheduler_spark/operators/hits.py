@@ -40,6 +40,15 @@ def hits(
     row (zero scores if it never receives mass).  Deterministic up to
     float summation order — hash-comparing callers should round (the
     oracle gate rounds to 6 dp).
+
+    Degenerate zero-mass graphs (every edge a self-loop, or no edges at
+    all): an iteration whose total mass is <= 0 skips normalization and
+    keeps the scores UNNORMALIZED — here that means all-zero auth/hub
+    columns, never NULL and never a divide-by-zero.  A SQL twin that
+    divides by SUM(score) unconditionally diverges on that input class
+    (NULL from 0/0); the oracle gate's graph has off-diagonal edges so
+    both agree there, but callers porting the SQL elsewhere should wrap
+    the divisor in NULLIF + COALESCE to match this zero-mass contract.
     """
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     nodes = (

@@ -13,11 +13,19 @@ Scale notes:
   peel round is ONE map-side-combinable degree aggregation plus two
   left-semi joins against the surviving node set — all equi-joins on
   the node id, AQE-partitionable, no driver-side adjacency.
-- ``localCheckpoint`` per round truncates lineage (the CC/BFS/PageRank
+- ``localCheckpoint`` per BATCH truncates lineage (the CC/BFS/PageRank
   loop discipline, operators/components.py:19-28).
-- one scalar action per round (the surviving-node count) detects the
-  fixpoint; the loop runs O(peel-depth) rounds — bounded by the graph's
-  degeneracy ordering, typically < 100 even on web graphs.
+- the fixpoint probe is batched: ``batch`` peel rounds are composed
+  lazily (Catalyst handles 2-3 chained agg+semi-join rounds in one
+  plan), then ONE checkpoint + ONE scalar count per batch.  Node counts
+  only ever shrink, so an unchanged count across a whole batch proves
+  the fixpoint was already reached — overshoot is safe to detect late.
+  This cuts driver round-trips AND checkpoint materializations by the
+  batch factor vs the round-4 one-count-per-peel loop.
+- peel depth is bounded by the graph's degeneracy ordering, typically
+  < 100 even on web graphs; exhausting ``max_rounds`` before the
+  fixpoint raises RuntimeError (a silently truncated core is a
+  SUPERSET of the true k-core — the closure.py:82 contract).
 - at 1000-executor scale both join sides would be bucketed on the node
   id so every round's semi-joins are shuffle-free (the same layout
   ``catalog.write_bucketed`` proves in tests/test_plans.py).
@@ -30,6 +38,7 @@ from pyspark.sql import functions as F
 
 DEFAULT_K = 2
 MAX_ROUNDS = 100
+PROBE_BATCH = 2
 
 
 def kcore(
@@ -38,14 +47,20 @@ def kcore(
     src: str = "src_entity",
     dst: str = "dst_entity",
     max_rounds: int = MAX_ROUNDS,
+    batch: int = PROBE_BATCH,
 ) -> DataFrame:
     """Directed/undirected edge list → DataFrame(node_id, core_degree):
     the nodes of the k-core with their within-core degree.
 
     Self-loops are ignored; parallel/reversed duplicates collapse (the
     degree counts DISTINCT neighbors).  Deterministic: set semantics
-    throughout, no floats.
+    throughout, no floats.  Raises RuntimeError if ``max_rounds`` peel
+    rounds run without reaching the fixpoint — the partially peeled
+    graph is a superset of the true k-core and silently returning it
+    would violate the definition (same contract as closure.py:82).
     """
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     fwd = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -56,30 +71,43 @@ def kcore(
         .localCheckpoint()
     )
     prev_nodes = -1
-    for _ in range(max_rounds):
-        # und holds BOTH directions, so grouping on u sees every node
-        # and count(*) is the distinct-neighbor degree
-        keep = (
-            und.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("u")
-            .localCheckpoint()
-        )
-        n = keep.count()
-        if n == prev_nodes:
-            # keepₜ ⊆ keepₜ₋₁ (edges only ever shrink), so equal counts
-            # mean equal sets: no node dropped, degrees stable, fixpoint
+    rounds_run = 0
+    done = False
+    while rounds_run < max_rounds:
+        # Compose `batch` peel rounds LAZILY (no checkpoint/count between):
+        # each round is one degree agg + two left-semi joins, and node
+        # counts only ever shrink, so probing after the batch is safe.
+        for _ in range(min(batch, max_rounds - rounds_run)):
+            # und holds BOTH directions, so grouping on u sees every node
+            # and count(*) is the distinct-neighbor degree
+            keep = (
+                und.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("u")
+            )
+            und = (
+                und.join(keep, "u", "left_semi")
+                .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+                .select("u", "v")
+            )
+            rounds_run += 1
+        und = und.localCheckpoint()
+        # und is symmetric, so distinct u = the surviving node set
+        n = und.select("u").distinct().count()
+        if n == prev_nodes or n == 0:
+            # the set is monotone non-increasing round-over-round, so an
+            # unchanged count across a whole batch means the batch's FIRST
+            # round already peeled nothing: fixpoint (or empty core)
+            done = True
             break
         prev_nodes = n
-        und = (
-            und.join(keep, "u", "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint()
+    if not done:
+        raise RuntimeError(
+            f"kcore did not reach the fixpoint within {max_rounds} peel "
+            f"rounds ({prev_nodes} nodes still surviving); the partial "
+            f"result would be a superset of the {k}-core — raise max_rounds"
         )
-        if n == 0:
-            break
     return (
         und.groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
