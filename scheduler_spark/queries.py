@@ -3612,6 +3612,64 @@ def boilerplate_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_substr_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    p AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok
+      FROM toks),
+    g AS (
+      SELECT doc_id, r['p'] AS pos, r['g'] AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 6),
+                      i -> {'p': i, 'g': array_to_string(t[i:i+7], ' ')})) AS r
+        FROM toks WHERE len(t) >= 8)),
+    c AS (SELECT gram, count(*) AS gn FROM g GROUP BY gram),
+    ds AS (SELECT g.doc_id, g.pos FROM g JOIN c ON g.gram = c.gram
+           WHERE c.gn >= 2),
+    m AS (
+      SELECT p.doc_id, p.pos, p.tok,
+             max(CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY p.doc_id ORDER BY p.pos
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) = 1 AS covered
+      FROM p LEFT JOIN ds ON p.doc_id = ds.doc_id AND p.pos = ds.pos),
+    k AS (
+      SELECT doc_id,
+             coalesce(string_agg(tok, ' ' ORDER BY pos)
+                      FILTER (WHERE NOT covered), '') AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM m GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(coalesce(k.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(k.n_removed, 0) AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+    """,
+)
+def exact_substr_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal (Lee et al. 2022; operators/dedup.
+    exact_substr_dedup): every word 8-gram occurring ≥2 times
+    corpus-wide marks its covered token positions; documents are
+    re-emitted with those tokens excised.  The companion flagging pass
+    is boilerplate_dup_grams (same tokenizer, same gram length).  The
+    DuckDB twin groups STRING grams where Spark groups their xxhash64
+    narrowings — counts agree because the hash is injective at corpus
+    scale (collision odds ~1e-13), the same contract the dup-grams
+    oracle relies on.  Scale shape: linear in corpus tokens (one 8-byte
+    count shuffle, one join-back, one per-doc streaming window), never
+    doc×doc."""
+    from .operators.dedup import exact_substr_dedup
+
+    return exact_substr_dedup(
+        _spread(spark, _t(spark, sf_dir, "documents")), min_len=8
+    )
+
+
+@query(
     "dsir_importance_weights",
     """
     WITH toks AS (
