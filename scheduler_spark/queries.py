@@ -3557,6 +3557,76 @@ def bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_unrolled_sql(k: int) -> str:
+    """DuckDB twin of operators/bpe.bpe_train: the k-round training
+    loop unrolled, one (counts, best, re-segmented words) CTE triple
+    per merge level.  AS MATERIALIZED per level — without it DuckDB
+    inlines each level into every consumer and the plan grows
+    exponentially in k (see the kcore/closure oracles)."""
+    parts = [
+        """
+    WITH w0 AS MATERIALIZED (
+      SELECT '  ' || array_to_string(regexp_extract_all(w, '.'), '  ')
+                  || '  ' AS s,
+             count(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents)
+      WHERE len(w) >= 2 GROUP BY 1)"""
+    ]
+    selects = []
+    for r in range(1, k + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""
+    c{r} AS MATERIALIZED (
+      SELECT p AS pair, sum(freq) AS cnt FROM (
+        SELECT unnest(list_transform(range(1, len(sy)),
+                      i -> sy[i] || ' ' || sy[i + 1])) AS p, freq
+        FROM (SELECT string_split(trim({prev}.s), '  ') AS sy, freq
+              FROM {prev}))
+      GROUP BY 1),
+    b{r} AS MATERIALIZED (
+      SELECT pair, cnt FROM c{r} ORDER BY cnt DESC, pair LIMIT 1),
+    w{r} AS MATERIALIZED (
+      SELECT replace(s, ' ' || replace((SELECT pair FROM b{r}), ' ', '  ')
+                          || ' ',
+                        ' ' || replace((SELECT pair FROM b{r}), ' ', '')
+                          || ' ') AS s,
+             freq
+      FROM {prev})"""
+        )
+        selects.append(
+            f"""
+      SELECT {r} AS merge_rank,
+             split_part(pair, ' ', 1) AS lhs,
+             split_part(pair, ' ', 2) AS rhs,
+             replace(pair, ' ', '') AS merged,
+             CAST(cnt AS BIGINT) AS pair_count
+      FROM b{r}"""
+        )
+    return (
+        ",".join(parts)
+        + "\n    SELECT * FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY merge_rank"
+    )
+
+
+@query("bpe_train_merges", _bpe_unrolled_sql(8))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE training (operators/bpe.bpe_train): 8 merge rounds
+    over the documents corpus — pair counting, deterministic argmax,
+    greedy merge application, repeat.  bpe_pair_merges is one round's
+    statistic; this is the tokenizer-training loop itself.  The DuckDB
+    twin unrolls the 8 levels as materialized CTEs; both engines apply
+    merges through the same double-space replace primitive, so merge
+    sequences match exactly (equivalence vs a driver-side reference
+    implementation is pinned in tests/test_bpe.py)."""
+    from .operators.bpe import bpe_train
+
+    return bpe_train(_spread(spark, _t(spark, sf_dir, "documents")), k=8)
+
+
 @query(
     "boilerplate_dup_grams",
     """
