@@ -3829,6 +3829,121 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_classifier_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS f
+      FROM toks WHERE len(t) >= 2),
+    b AS (
+      SELECT doc_id, lang,
+             list_reduce(list_transform(range(1, len(f) + 1),
+                                        i -> ascii(substr(f, i, 1))),
+                         (acc, x) -> (acc * 31 + x) % 1000003) % 64 AS bucket
+      FROM bg),
+    counts AS (
+      SELECT bucket, count(*) AS rc,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+      FROM b GROUP BY bucket),
+    tot AS (SELECT sum(rc) AS rt, sum(tc) AS tt FROM counts),
+    w AS (
+      SELECT bucket,
+             ln((tc + 1.0) / (tt + 64.0)) - ln((rc + 1.0) / (rt + 64.0)) AS w
+      FROM counts, tot),
+    s AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             sum(w.w) / count(*) AS m
+      FROM b JOIN w USING (bucket) GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+           round(1.0 / (1.0 + exp(-s.m)), 6) AS quality_score,
+           coalesce(s.m >= 0, FALSE) AS keep
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2017,
+    "Bag of Tricks for Efficient Text Classification"): hashed
+    word-BIGRAM features → 64 buckets, one weight per bucket, document
+    score = sigmoid(mean bucket weight), keep iff the mean logit ≥ 0.
+    The weight table here is the naive-Bayes log-odds of each bucket
+    under the lang='en' target vs the raw corpus (the DSIR
+    distributions, dsir_importance_weights, lifted from unigrams to
+    bigrams) — in production the 64-row table would be swapped for
+    offline-trained fastText weights; the SCORING plan is identical.
+
+    Scale shape (the DSIR pattern): two bounded 64-row tables built in
+    ONE conditional aggregation, broadcast back, one per-doc aggregate;
+    the corpus shuffles only on the 8-byte-bounded bucket ids, never on
+    text.  Docs with <2 tokens have no bigram features: NULL score,
+    keep=false, kept total via the documents left join."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    t = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    feats = d.select("doc_id", "lang", F.explode(bigrams).alias("f"))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("f")),
+        lambda i: F.ascii(F.substring(F.col("f"), i, F.lit(1))),
+    )
+    bucket = F.pmod(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: F.pmod(acc * 31 + c, F.lit(1000003)),
+        ),
+        F.lit(64),
+    )
+    b = feats.select("doc_id", "lang", bucket.alias("bucket"))
+    counts = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+    )
+    totals = counts.agg(F.sum("rc").alias("rt"), F.sum("tc").alias("tt"))
+    w = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("tc") + F.lit(1.0)) / (F.col("tt") + F.lit(64.0)))
+                - F.log((F.col("rc") + F.lit(1.0)) / (F.col("rt") + F.lit(64.0)))
+            ).alias("w"),
+        )
+    )
+    scored = (
+        b.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            (F.sum("w") / F.count(F.lit(1))).alias("m"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 6
+            ).alias("quality_score"),
+            F.coalesce(F.col("m") >= 0, F.lit(False)).alias("keep"),
+        )
+    )
+
+
 def _walks_unrolled_sql(length: int) -> str:
     """DuckDB twin of operators/walks.deterministic_walks on the
     sparse numeric k-core graph: id-sorted ranked neighbors, next hop
