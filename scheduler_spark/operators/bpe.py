@@ -134,3 +134,79 @@ def bpe_train(
         "merge_rank int, lhs string, rhs string, merged string, pair_count long"
     )
     return spark.createDataFrame(merges, schema)
+
+
+def bpe_segment_words(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply an ordered merge list to the corpus's word types →
+    DataFrame(w, n_sub): each distinct word (length ≥ 2) with its
+    subword count under the trained merges.
+
+    The encode pass mirrors training: k chained `replace` projections
+    over the word-TYPE table (vocabulary-bounded, one corpus pass to
+    build it), merges applied in rank order — the greedy-apply order
+    every public BPE encoder uses.  At 100 TB this is the tokenizer
+    APPLICATION plan: the corpus is scanned once to group word types,
+    the k replaces run over the vocabulary only, and callers join the
+    segmentation back on the word column.
+    """
+    vocab = _word_types(df, text_col)
+    s = F.col("s")
+    for left, right in merges:
+        s = F.replace(s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+    return (
+        vocab.select(s.alias("s"), "freq")
+        .select(
+            F.replace(F.col("s"), F.lit(" "), F.lit("")).alias("w"),
+            F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_sub"),
+        )
+    )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_MERGES,
+) -> DataFrame:
+    """Train k merges, segment the word-type table, join the
+    segmentation back per document → DataFrame(doc_id, n_words,
+    n_subwords).  Words shorter than 2 chars (and words of length ≥ 2
+    count via the vocabulary join) are single symbols, so every token
+    contributes ≥ 1 subword and zero-token docs stay total with
+    (0, 0).  One corpus tokenize + one vocabulary-key equi-join — the
+    word column is the only shuffle key, never text."""
+    trained = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(df, text_col=text_col, k=k)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    seg = bpe_segment_words(df, trained, text_col)
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("w"),
+    )
+    counted = (
+        toks.join(seg, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.coalesce("n_sub", F.lit(1))).cast("long").alias("n_subwords"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(counted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0)).cast("long").alias("n_subwords"),
+        )
+    )

@@ -3627,6 +3627,48 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_spread(spark, _t(spark, sf_dir, "documents")), k=8)
 
 
+def _bpe_encode_sql(k: int) -> str:
+    """DuckDB twin of operators/bpe.bpe_encode_counts: the k unrolled
+    training levels (same CTEs as _bpe_unrolled_sql), then the final
+    vocabulary's segmentation joined back per document."""
+    train = _bpe_unrolled_sql(k)
+    with_body = train[: train.rindex("\n    SELECT * FROM (")]
+    return (
+        with_body
+        + f""",
+    seg AS MATERIALIZED (
+      SELECT replace(s, ' ', '') AS w,
+             len(string_split(trim(s), '  ')) AS n_sub
+      FROM w{k}),
+    toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      FROM documents),
+    cnt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(coalesce(seg.n_sub, 1)) AS BIGINT) AS n_subwords
+      FROM toks LEFT JOIN seg USING (w) GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(cnt.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(cnt.n_subwords, 0) AS BIGINT) AS n_subwords
+    FROM documents d LEFT JOIN cnt USING (doc_id)"""
+    )
+
+
+@query("bpe_encode_tokens", _bpe_encode_sql(8))
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (operators/bpe.bpe_encode_counts): train 8
+    BPE merges, segment the word-type vocabulary with the same
+    double-space replace primitive, join the segmentation back per
+    document, and emit (n_words, n_subwords).  Completes the
+    train→encode tokenizer story started by bpe_train_merges; the
+    corpus is tokenized once and shuffles only on the word column."""
+    from .operators.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(
+        _spread(spark, _t(spark, sf_dir, "documents")), k=8
+    )
+
+
 @query(
     "boilerplate_dup_grams",
     """

@@ -81,6 +81,49 @@ def test_bpe_tiebreak_is_lexicographic(spark):
     assert _spark_merges(spark, texts, 2) == _ref_bpe(texts, 2)
 
 
+def _ref_encode_counts(texts, k):
+    merges = [(a, b) for a, b, _, _ in _ref_bpe(texts, k)]
+    out = {}
+    for d, t in enumerate(texts):
+        words = re.findall(r"[a-z0-9]+", t.lower())
+        n_sub = 0
+        for w in words:
+            syms = list(w)
+            for a, b in merges:
+                nxt, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        nxt.append(a + b)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            n_sub += len(syms)
+        out[d] = (len(words), n_sub)
+    return out
+
+
+def test_bpe_encode_counts_match_reference(spark):
+    from scheduler_spark.operators.bpe import bpe_encode_counts
+
+    texts = [
+        "banana bandana ban ana a",
+        "the theme then there anthem",
+        "aaaa aaa baaab",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_encode_counts(df, k=4).collect()
+    }
+    assert got == _ref_encode_counts(texts, 4)
+    assert got[3] == (0, 0)  # empty doc stays total
+
+
 def test_bpe_stops_early_when_pairs_exhausted(spark):
     # two two-char word types -> after both merge into single symbols
     # there are no adjacent pairs left; the trainer must emit fewer
