@@ -379,6 +379,314 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — forecasting revenue change.  Pure scan-side query:
+    all three predicates push into the parquet scan (PushedFilters),
+    the aggregate is a single map-side-combined scalar — the plan is
+    one stage end-to-end, the shape every selective-scan rollup at
+    100 TB should compile to."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")).cast("double"), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q8_national_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume
+                               ELSE 0 END) AS DOUBLE)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, lineitem, supplier, orders, customer, nation n1,
+           nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                            AND TIMESTAMP '1997-12-31'
+        AND p_type = 'STANDARD')
+    GROUP BY o_year
+    """,
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 — national market share (adapted to the synthetic
+    nation names; the reference's fixed-depth star joins generalized
+    to a two-role dimension).  The nation dim joins TWICE under
+    different roles (customer region gate vs supplier share flag) —
+    both broadcast; the share is one conditional sum over the joined
+    fact, no second pass."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").alias("n1")
+    n2 = _t(spark, sf_dir, "nation").alias("n2")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(0.0))
+                / F.sum("volume")
+            ).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — customer order-count distribution (the NOT-LIKE
+    comment filter adapted to the available o_orderpriority column).
+    The outer join's ON-clause filter is the load-bearing semantics:
+    filtered-out orders must still yield c_count=0 customers, so the
+    predicate CANNOT be a WHERE.  Two shuffles total (custkey, then
+    the bounded c_count domain)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    """
+    SELECT round(CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0 END) AS DOUBLE)
+                 / sum(l_extendedprice * (1 - l_discount)), 6)
+             AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promotion effect.  One month of the fact (pushed
+    scan filter) broadcast-joined to the part dim; the percentage is a
+    single conditional aggregation, never two scans."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                    / F.sum(vol)
+                ).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(CAST(sum(l_extendedprice) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#9' AND p_size < 15
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 — small-quantity-order revenue (p_container adapted
+    to p_size; the synthetic part table has no containers).  The
+    correlated per-part average decorrelates into ONE per-partkey
+    aggregate joined back — the standard Catalyst rewrite, written
+    explicitly so the plan is a hash aggregate + equi-join instead of
+    a per-row subquery probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#9") & (F.col("p_size") < 15)
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("q_cut")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("q_cut"))
+        .agg(
+            F.round((F.sum("l_extendedprice") / F.lit(7.0)).cast("double"), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — discounted revenue under a 3-branch disjunctive
+    predicate (shipmode/shipinstruct conjuncts dropped: not in the
+    synthetic schema).  The OR-of-ANDs spans both join sides, so it
+    can only apply post-join — but Catalyst still derives the
+    single-side implications (p_brand IN (...), l_quantity ranges) and
+    pushes THOSE to the scans; the dim side broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "double"
+                ),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q22_idle_customers",
+    """
+    WITH cutoff AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+    FROM customer, cutoff
+    WHERE c_acctbal > cutoff.a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 — global sales opportunity (country-code substring
+    adapted to c_mktsegment; "no orders" adapted to "no orders since
+    1998" because every synthetic customer has ≥1 lifetime order —
+    the lapsed-customer variant keeps the NOT EXISTS non-empty).  The
+    positive-balance average is a 1-row scalar broadcast (the
+    documented justified-hint class), the NOT EXISTS is a left-anti
+    equi-join on custkey, and the rollup groups the bounded segment
+    domain."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    cutoff = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        c.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal").cast("double"), 2).alias("totacctbal"),
+        )
+    )
+
+
 # ===========================================================================
 # §2.3 — broadcast dimension join (mainstem-enrichment shape)
 # ===========================================================================
