@@ -121,6 +121,16 @@ HEADLINE = [
     # known-pathological row.
     "boilerplate_dup_grams",
     "dsir_importance_weights",
+    # round-5 adds: span-level exact-substring removal, the fastText-
+    # style classifier (both corpus-proportional two-pass profiles),
+    # BPE train+encode (one corpus tokenize + vocab-bounded loop), and
+    # the two heaviest new TPC-H shapes (double-role dim join, outer-
+    # join count distribution)
+    "exact_substr_removal",
+    "quality_classifier_scores",
+    "bpe_encode_tokens",
+    "q8_national_market_share",
+    "q13_customer_distribution",
 ]
 
 KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))

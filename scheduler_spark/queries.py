@@ -5217,109 +5217,106 @@ _ROWS_ONLY: dict[str, Query] = {
 
 
 # Driver-window priority. The correctness gate verifies entries in
-# iteration order and truncates at ~50, so round 4 leads with (a) the
-# six rows-only scale paths — ann_ivfpq was the ONE registered entry
-# with no official driver row through r03 (registry position 52), so it
-# goes FIRST — (b) the new/changed round-4 entries, then (c) the recall
-# gates + KG goldens for fresh official rows.  Everything below
-# position ~50 already has a green row in CORRECTNESS_r01-r03 and a
-# replica pass; the tail order keeps that archive stable.
+# iteration order and truncates at ~50, so round 5 leads with (a) the
+# eleven new round-5 entries, then (b) the staleness rotation the r04
+# verdict asked for: every entry whose most recent official green row
+# is r02, then the r03 cohort.  Everything past the window keeps its
+# archived row; the r05 window re-verifies the stalest third.
 _PRIORITY = [
-    "ann_ivfpq",
-    "kg_kcore_2core",
-    "kg_hits_scores",
-    "kg_random_walks",
-    "bpe_pair_merges",
-    "boilerplate_dup_grams",
-    "dsir_importance_weights",
-    "sketch_distinct_users",
-    "sketch_percentile_value",
-    "sketch_frequent_items",
-    "dedup_jaccard_prefix",
-    "scd2_user_status",
-    "decayed_user_scores",
-    "kg_ancestor_closure",
-    "funnel_view_click_purchase",
-    "retention_weekly_cohorts",
-    "table_profile_events",
-    "semdedup_cluster_prune",
-    "lpa_communities",
-    "inverted_index_postings",
-    "knn_graph_recall",
-    "knn_graph_mutual",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q18_large_orders",
-    "kg_link_prediction",
-    "fuzzy_block_stats",
-    "entity_fuzzy_match",
-    "contamination_check",
-    "kg_triangle_count",
-    "train_val_split",
-    "corpus_mix_weights",
-    "tfidf_top_terms",
-    "bigram_logprob_score",
-    "dedup_minhash_lsh_recall",
-    "ann_ivf_recall",
-    "ann_ivfpq_recall",
-    "ann_embedding_lsh_recall",
-    "dedup_simhash_recall",
-    "dedup_cluster_keepers",
-    "simhash_bucket_stats",
-    "kg_pipeline_triples",
-    "kg_3hop_chain",
-    "kg_entity_degree_topk",
-    "connected_components_oracle",
-    "graph_bfs_distances",
-    "ann_ivf",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_lsh",
-    "ann_lsh_bucketed",
-    "dedup_exact_by_fingerprint",
-    "doc_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "sequence_packing",
-    "interval_join_click_purchase",
-    "group_percentiles",
-    "video_frame_hashes",
-    "lang_id_heuristic",
-    "doc_quality_score",
-    "token_counts",
-    "url_normalize_canonical",
-    "domain_blocklist_filter",
-    "suffix_artifact_filter",
-    "log_severity_rollup",
-    "scan_pushdown_projection",
-    "smj_large_join",
-    "vocab_doc_frequency",
-    "stratified_sample_deterministic",
-    "winnow_doc_fingerprints",
-    "winnow_copy_pairs",
-    "token_cooccurrence_pmi",
-    "quality_gopher_rules",
-    "repetition_collapse",
-    "pii_redaction",
-    "pagerank_entity_rank",
+    # --- round-5 additions: fresh entries need their first official row ---
+    "exact_substr_removal",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "quality_classifier_scores",
+    "q6_forecast_revenue",
+    "q8_national_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    # --- staleness rotation (r04 verdict #8): most recent green row is
+    # r02 for these 50 — the ~39 that fit after the new entries get
+    # re-verified this round, the spillover next round ---
+    "anti_join_customers_without_orders",
+    "approx_distinct_bounded",
+    "approx_quantiles_bounded",
+    "array_functions",
+    "asof_join_clicks_views",
+    "bbox_intersect_join",
+    "broadcast_dim_join",
+    "case_when_balance_buckets",
+    "chunk_documents",
+    "content_hash_invariant",
+    "correlated_scalar_subquery",
+    "cube_order_counts",
+    "date_functions",
+    "dependency_gate",
+    "distinct_segments",
+    "duplicate_id_detection",
+    "empty_content_filter",
+    "events_sessionize",
+    "except_all_orderkeys",
+    "except_building_without_orders",
+    "from_json_typed",
+    "grouping_sets_quantity",
+    "harvest_word_mentions",
+    "intersect_active_building_custkeys",
+    "json_extract_props",
+    "map_functions",
+    "name_truncation",
+    "null_safe_join_counts",
+    "pivot_status_quantity",
+    "posexplode_tokens",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "asof_join_clicks_views",
-    "bbox_intersect_join",
+    "quarantine_invalid_rows",
     "range_band_join",
-    "broadcast_dim_join",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "window_top_order_per_customer",
-    "window_range_frame_7d",
-    "events_sessionize",
-    "windowed_event_counts",
-    "harvest_word_mentions",
     "release_rollup_per_source",
-    "content_hash_invariant",
-    "chunk_documents",
+    "rollup_quantity",
+    "scalar_subquery_above_avg",
+    "semi_join_customers_with_orders",
+    "sorted_string_agg",
+    "stale_partition_prune",
+    "string_functions",
+    "string_pad_functions",
+    "topk_orders_by_price",
+    "union_label_vocab",
+    "window_range_frame_7d",
+    "window_rank_functions",
+    "window_running_customer_spend",
+    "window_top_order_per_customer",
+    "windowed_event_counts",
+    # --- last green r03 ---
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "dedup_embedding_cosine",
+    "dedup_exact_by_fingerprint",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
+    "doc_quality_score",
+    "domain_blocklist_filter",
+    "group_percentiles",
+    "interval_join_click_purchase",
+    "lang_id_heuristic",
+    "log_severity_rollup",
+    "pagerank_entity_rank",
+    "pii_redaction",
+    "quality_gopher_rules",
+    "repetition_collapse",
+    "scan_pushdown_projection",
+    "sequence_packing",
+    "smj_large_join",
+    "stratified_sample_deterministic",
+    "suffix_artifact_filter",
+    "token_cooccurrence_pmi",
+    "token_counts",
+    "url_normalize_canonical",
+    "video_frame_hashes",
+    "vocab_doc_frequency",
+    "winnow_copy_pairs",
+    "winnow_doc_fingerprints",
 ]
 
 def all_queries() -> dict[str, Query]:
