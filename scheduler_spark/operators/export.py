@@ -233,3 +233,57 @@ def write_jdbc(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def execute_jdbc_statement(
+    spark, url: str, sql: str, driver: str | None = None
+) -> None:
+    """Run one DDL/DML statement against a JDBC endpoint from the driver.
+
+    The reference issues post-load index DDL through the same engine
+    connection it loaded with (/root/reference/userCode/assetGroups/
+    export.py:377-391).  Spark's JDBC writer has no DDL surface, so the
+    analog is a single driver-side statement through the JVM's
+    ``java.sql.DriverManager`` — bounded work (no data moves through
+    the driver), same pattern as the reference's ``conn.execute(text(…))``.
+    """
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def create_post_load_indexes(
+    spark,
+    url: str,
+    table: str,
+    columns: list[str],
+    driver: str | None = None,
+) -> list[str]:
+    """Create one single-column index per entry, after the bulk load.
+
+    Mirrors the reference's ``CREATE INDEX IF NOT EXISTS idx_… ON
+    geoconnex_features (id|geoconnex_sitemap)`` post-load step
+    (/root/reference/userCode/assetGroups/export.py:377-391).  Indexing
+    AFTER the batched load is the scale-correct order: maintaining a
+    btree during a 100k-batch bulk insert is strictly slower than one
+    sort-build at the end.  Returns the index names it created.
+    """
+    names = []
+    for col in columns:
+        name = f"idx_{table}_{col}".lower()
+        # Spark's JDBC writer emits quoted (case-exact) column names in
+        # its CREATE TABLE, so the index DDL must quote them too
+        execute_jdbc_statement(
+            spark, url, f'CREATE INDEX {name} ON {table} ("{col}")', driver=driver
+        )
+        names.append(name)
+    return names
