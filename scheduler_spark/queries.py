@@ -687,6 +687,452 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2),
+    eu AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    best AS (
+      SELECT ps.partkey, min(ps.unit_cost) AS best_cost
+      FROM ps JOIN eu ON ps.suppkey = eu.s_suppkey GROUP BY 1)
+    SELECT s_name, n_name, p_partkey, p_name,
+           round(CAST(ps.unit_cost AS DOUBLE), 4) AS unit_cost
+    FROM part
+    JOIN ps ON ps.partkey = p_partkey
+    JOIN eu ON ps.suppkey = eu.s_suppkey
+    JOIN best ON best.partkey = p_partkey AND ps.unit_cost = best.best_cost
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 — minimum-cost supplier.  The synthetic schema has no
+    partsupp table, so the part↔supplier relation (and its
+    ps_supplycost) is derived from lineitem as min observed unit
+    price per (part, supplier) — same correlated-MIN query shape.
+    The correlated subquery decorrelates into a per-part MIN aggregate
+    joined back (the q17 pattern); region/nation/part dims broadcast,
+    and the double equality is exact because both sides compare the
+    SAME computed doubles (selection, not re-summation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    ps_eu = ps.join(eu, F.col("suppkey") == F.col("s_suppkey"))
+    best = ps_eu.groupBy(F.col("partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        ps_eu.join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .join(best, (F.col("partkey") == F.col("bp")))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(F.col("unit_cost").cast("double"), 4).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 — order-priority checking.  The original's
+    "commitdate < receiptdate" lateness test maps to "shipped more
+    than 60 days after order date" (the synthetic lineitem carries
+    only l_shipdate).  The EXISTS compiles to ONE left-semi hash join
+    on orderkey with the lateness conjunct as the join residual — the
+    fact table is never widened, and the quarter filter pushes into
+    the orders scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part, lineitem, supplier, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%')
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 — product-type profit measure.  No partsupp table, so
+    supply cost is modeled as 60% of p_retailprice (deterministic,
+    schema-local) instead of ps_supplycost; the LIKE filter keeps the
+    original's substring part gate.  Part and nation broadcast; the
+    two fact-fact joins (lineitem↔orders) shuffle on their keys; the
+    profit rollup groups a bounded (nation × year) domain."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount").cast("double"), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey AS partkey,
+             sum(l_extendedprice * l_quantity) AS value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY 1)
+    SELECT partkey, round(CAST(value AS DOUBLE), 2) AS value
+    FROM val
+    WHERE value > (SELECT 0.002 * sum(value) FROM val)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 — important stock identification.  ps_availqty ×
+    ps_supplycost becomes shipped value (extendedprice × quantity)
+    per part for one nation's suppliers — the same
+    "share above a global-fraction threshold" HAVING shape.  The
+    global total is a 1-row scalar broadcast (the q22 cutoff class);
+    the per-part rollup shuffles once on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    cutoff = val.agg((F.lit(0.002) * F.sum("value")).alias("cut"))
+    return (
+        val.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("value") > F.col("cut"))
+        .select("partkey", F.round(F.col("value").cast("double"), 2).alias("value"))
+    )
+
+
+@query(
+    "q12_late_shipment_modes",
+    """
+    SELECT l_linestatus AS shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_late_shipment_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 — shipping-mode / priority split.  l_shipmode and the
+    commit/receipt dates don't exist in the synthetic schema:
+    l_linestatus stands in for the mode group and "receipt after
+    commit" becomes "shipped >30 days after order".  Both priority
+    counters come from ONE conditional aggregation over the joined
+    fact — never two passes."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name,
+           round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — top supplier (the revenue view inlined as a CTE).
+    The scalar MAX is a 1-row broadcast compared against each
+    supplier's OWN computed revenue — both engines compare doubles
+    they summed themselves, so the argmax is internally consistent;
+    the supplier dim joins after the aggregate, on the (tiny)
+    winners only."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pl
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'STANDARD'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 — parts/supplier relationship.  partsupp is derived
+    as DISTINCT (partkey, suppkey) from lineitem; the
+    "complaint suppliers" NOT IN becomes negative-balance suppliers
+    (no comment column).  The NOT IN is a left-anti broadcast join
+    (keys non-null by construction), the part dim broadcasts with all
+    three predicates pushed, and COUNT(DISTINCT) shuffles once on the
+    group keys."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "STANDARD")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_part_promotion_suppliers",
+    """
+    WITH pq AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2),
+    tot AS (SELECT partkey, sum(qty) AS total_qty FROM pq GROUP BY 1)
+    SELECT DISTINCT s_suppkey, s_name
+    FROM pq JOIN tot ON pq.partkey = tot.partkey
+    JOIN part ON p_partkey = pq.partkey
+    JOIN supplier ON s_suppkey = pq.suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%' AND n_name = 'NATION_5'
+      AND pq.qty > 0.3 * tot.total_qty
+    """,
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 — potential part promotion.  "availqty > half of
+    shipped quantity" (partsupp) becomes "this supplier shipped >30%
+    of the part's 1996 volume" — the same aggregate-vs-aggregate
+    threshold semi-join chain.  l_quantity is integer-valued, so the
+    sums and the 0.3× threshold are exact in FP on both engines.  The
+    per-(part,supplier) and per-part rollups reuse one shuffle key
+    prefix; part/nation broadcast; output is the distinct supplier
+    set."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pq = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.sum("l_quantity").alias("qty"))
+    tot = pq.groupBy(F.col("partkey").alias("tp")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    return (
+        pq.join(tot, F.col("partkey") == F.col("tp"))
+        .filter(F.col("qty") > F.lit(0.3) * F.col("total_qty"))
+        .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .join(s, F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 — suppliers who kept orders waiting.  Lateness is
+    "shipped >60 days after order date" (no commit/receipt dates);
+    the EXISTS / NOT EXISTS pair keeps the original's sole-blamed-
+    supplier semantics: another supplier participated in the order,
+    but no OTHER supplier was late on it.  Compiles to one semi-join
+    and one anti-join on orderkey with the suppkey inequality as the
+    residual — never a per-row subquery; supplier/nation broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        late.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .join(
+            l2,
+            (F.col("k2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("k3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
 # ===========================================================================
 # §2.3 — broadcast dimension join (mainstem-enrichment shape)
 # ===========================================================================
@@ -5235,6 +5681,15 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_late_shipment_modes",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_part_promotion_suppliers",
+    "q21_waiting_suppliers",
     # --- staleness rotation (r04 verdict #8): most recent green row is
     # r02 for these 50 — the ~39 that fit after the new entries get
     # re-verified this round, the spillover next round ---
