@@ -92,3 +92,56 @@ def triangle_count_id_ordered(
         .join(e3, ["x", "z"])
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def local_clustering_coefficient(
+    edges: DataFrame, src: str = "src_entity", dst: str = "dst_entity"
+) -> DataFrame:
+    """Per-node clustering coefficient over the undirected simple
+    graph: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2.
+
+    T(v) comes from the SAME degree-ordered wedge enumeration as
+    :func:`triangle_count` — each closed triangle (a,b,c) is found
+    exactly once and credited to all three corners (one explode of a
+    3-element array, then a count per node), so the per-node pass
+    inherits the O(m^{3/2}) wedge bound and hub safety of the global
+    count; degrees are one groupBy over the symmetrized edge list.
+    Output: (entity_id, degree BIGINT, n_triangles BIGINT,
+    clustering DOUBLE) for every node of the graph.
+    """
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    o = _oriented_by_degree(und, "a", "b")
+    e1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"), F.col("dv").alias("dy"))
+    e2 = o.select(F.col("u").alias("x"), F.col("v").alias("z"), F.col("dv").alias("dz"))
+    wedges = e1.join(e2, "x").filter(F.struct("dy", "y") < F.struct("dz", "z"))
+    closing = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri_nodes = (
+        wedges.join(closing, ["y", "z"])
+        .select(F.explode(F.array("x", "y", "z")).alias("entity_id"))
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return deg.join(tri_nodes, "entity_id", "left").select(
+        "entity_id",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

@@ -4219,6 +4219,191 @@ def kg_kcore_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ppr_seed_entities",
+    f"""
+    WITH raw AS (
+      {_ORDER_GRAPH_RAW_CTE}),
+    edges AS (SELECT DISTINCT u, v FROM raw WHERE u <> v),
+    nodes AS (SELECT u AS n FROM raw UNION SELECT v AS n FROM raw),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes
+           WHERE CAST(split_part(n, '_', 2) AS INT) < 5),
+    base AS (SELECT n, CASE WHEN CAST(split_part(n, '_', 2) AS INT) < 5
+                            THEN 1.0 / (SELECT cnt FROM ns)
+                            ELSE 0.0 END AS s FROM nodes),
+    deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY u),
+    r0 AS (SELECT n, s AS pr FROM base),
+    d0 AS (SELECT coalesce(sum(pr), 0.0) AS mass
+           FROM r0 LEFT JOIN deg ON r0.n = deg.u WHERE deg.u IS NULL),
+    c0 AS (SELECT e.v AS n, sum(r.pr / d.outdeg) AS contrib
+           FROM edges e JOIN r0 r ON e.u = r.n JOIN deg d ON e.u = d.u
+           GROUP BY e.v),
+    r1 AS (SELECT base.n, 0.15 * base.s
+                  + 0.85 * (coalesce(c0.contrib, 0.0)
+                            + (SELECT mass FROM d0) * base.s) AS pr
+           FROM base LEFT JOIN c0 ON base.n = c0.n),
+    d1 AS (SELECT coalesce(sum(pr), 0.0) AS mass
+           FROM r1 LEFT JOIN deg ON r1.n = deg.u WHERE deg.u IS NULL),
+    c1 AS (SELECT e.v AS n, sum(r.pr / d.outdeg) AS contrib
+           FROM edges e JOIN r1 r ON e.u = r.n JOIN deg d ON e.u = d.u
+           GROUP BY e.v),
+    r2 AS (SELECT base.n, 0.15 * base.s
+                  + 0.85 * (coalesce(c1.contrib, 0.0)
+                            + (SELECT mass FROM d1) * base.s) AS pr
+           FROM base LEFT JOIN c1 ON base.n = c1.n)
+    SELECT n AS entity_id, round(pr, 6) AS ppr_score FROM r2
+    """,
+)
+def ppr_seed_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/pagerank.personalized_pagerank)
+    seeded on the low-suffix entities of the shared order graph — rank
+    relative to a query entity set, the KG relevance-retrieval
+    primitive.  Two fixed iterations so the twin is a closed-form CTE
+    chain mirroring the pagerank_entity_rank oracle with the teleport
+    vector concentrated on the seeds (and dangling mass returned to
+    them).  6-dp rounding absorbs summation-order ulp noise."""
+    from .operators.pagerank import personalized_pagerank
+
+    edges = _order_graph_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src_entity").alias("node"))
+        .union(edges.select(F.col("dst_entity").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        F.element_at(F.split(F.col("node"), "_"), 2).cast("int") < 5
+    )
+    ppr = personalized_pagerank(edges, seeds, iterations=2)
+    return ppr.select("entity_id", F.round("rank", 6).alias("ppr_score"))
+
+
+@query(
+    "graph_sssp_costs",
+    f"""
+    WITH RECURSIVE
+    raw AS (
+      {_KCORE_RAW_SQL}),
+    edges AS (SELECT DISTINCT u, v, 1 + (u * 3 + v * 7) % 9 AS w
+              FROM raw WHERE u <> v),
+    seeds AS (SELECT u AS n FROM edges WHERE u < 10
+              UNION SELECT v FROM edges WHERE v < 10),
+    walk AS (
+      SELECT n AS node, CAST(0 AS BIGINT) AS dist FROM seeds
+      UNION
+      SELECT e.v, w.dist + e.w FROM walk w JOIN edges e ON w.node = e.u
+      WHERE w.dist + e.w <= 100
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+    """,
+)
+def graph_sssp_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/sssp.weighted_sssp) from the
+    sub-10 seed entities over the sparse quadratic-residue graph, with
+    deterministic integer edge costs w = 1 + (3u + 7v) mod 9.  The
+    engine runs semi-naive Bellman-Ford to FIXPOINT (measured depth 15
+    on this graph, identical at every SF); the oracle enumerates every
+    walk of cost ≤ 100 by recursive CTE (sound: the true max distance
+    is 70, and the UNION dedups (node, cost) states so cycles
+    terminate) and takes the per-node MIN.  Integer-only — no ulp
+    guard needed."""
+    from .operators.sssp import weighted_sssp
+
+    raw = _kcore_graph_edges(spark, sf_dir)
+    pairs = (
+        raw.filter(F.col("src_entity") != F.col("dst_entity"))
+        .select(F.col("src_entity").alias("u"), F.col("dst_entity").alias("v"))
+        .distinct()
+    )
+    e = pairs.select(
+        "u", "v", (F.lit(1) + F.pmod(F.col("u") * 3 + F.col("v") * 7, F.lit(9))).alias("w")
+    )
+    seeds = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .filter(F.col("node") < 10)
+        .distinct()
+    )
+    return weighted_sssp(e, seeds, max_rounds=30)
+
+
+_TRI_GRAPH_RAW_CTE = """SELECT o_orderkey % 60 AS u, (o_orderkey + 1) % 60 AS v
+      FROM orders WHERE o_orderkey < 600
+      UNION ALL
+      SELECT o_orderkey % 60 AS u, (o_orderkey + 2) % 60 AS v
+      FROM orders WHERE o_orderkey < 600
+      UNION ALL
+      SELECT o_orderkey % 60 AS u, (o_orderkey + 3) % 60 AS v
+      FROM orders WHERE o_orderkey < 600 AND o_orderkey % 60 < 30"""
+
+
+def _tri_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _TRI_GRAPH_RAW_CTE — a 60-node ring with +1/+2
+    chords everywhere and +3 chords on half the ring, so per-node
+    triangle counts VARY (5 distinct values; the shared order graph
+    and the k-core graph are both triangle-free, which would make a
+    clustering gate vacuous)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600)
+    k = F.col("o_orderkey")
+    e1 = o.select(
+        F.pmod(k, F.lit(60)).alias("src_entity"),
+        F.pmod(k + 1, F.lit(60)).alias("dst_entity"),
+    )
+    e2 = o.select(
+        F.pmod(k, F.lit(60)).alias("src_entity"),
+        F.pmod(k + 2, F.lit(60)).alias("dst_entity"),
+    )
+    e3 = o.filter(F.pmod(k, F.lit(60)) < 30).select(
+        F.pmod(k, F.lit(60)).alias("src_entity"),
+        F.pmod(k + 3, F.lit(60)).alias("dst_entity"),
+    )
+    return e1.unionAll(e2).unionAll(e3)
+
+
+@query(
+    "local_clustering_coeff",
+    f"""
+    WITH raw AS (
+      {_TRI_GRAPH_RAW_CTE}),
+    und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+            FROM raw WHERE u <> v),
+    sym AS (SELECT a AS u FROM und UNION ALL SELECT b FROM und),
+    deg AS (SELECT u AS entity_id, CAST(count(*) AS BIGINT) AS degree
+            FROM sym GROUP BY 1),
+    tris AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+             FROM und p1 JOIN und p2 ON p1.b = p2.a
+             JOIN und p3 ON p3.a = p1.a AND p3.b = p2.b),
+    corners AS (SELECT x AS e FROM tris UNION ALL SELECT y FROM tris
+                UNION ALL SELECT z FROM tris),
+    t AS (SELECT e, CAST(count(*) AS BIGINT) AS nt FROM corners GROUP BY 1)
+    SELECT d.entity_id, d.degree,
+           CAST(coalesce(t.nt, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN 2.0 * coalesce(t.nt, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0.0 END, 6) AS clustering
+    FROM deg d LEFT JOIN t ON d.entity_id = t.e
+    """,
+)
+def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient
+    (operators/triangles.local_clustering_coefficient) over the
+    deterministic ring-with-chords graph.  The EXECUTED path credits
+    each degree-ordered triangle to its three corners (explode +
+    count, inheriting the O(m^1.5) hub-safe wedge bound); the oracle
+    is the simpler id-ordered triple join.  The integer ratio
+    2T/(d(d-1)) is the same double on both engines; 6-dp rounding is
+    belt-and-braces."""
+    from .operators.triangles import local_clustering_coefficient
+
+    cc = local_clustering_coefficient(_tri_graph_edges(spark, sf_dir))
+    return cc.select(
+        "entity_id",
+        "degree",
+        "n_triangles",
+        F.round("clustering", 6).alias("clustering"),
+    )
+
+
+@query(
     "kg_hits_scores",
     f"""
     WITH raw AS (
@@ -5690,6 +5875,9 @@ _PRIORITY = [
     "q16_supplier_part_counts",
     "q20_part_promotion_suppliers",
     "q21_waiting_suppliers",
+    "ppr_seed_entities",
+    "graph_sssp_costs",
+    "local_clustering_coeff",
     # --- staleness rotation (r04 verdict #8): most recent green row is
     # r02 for these 50 — the ~39 that fit after the new entries get
     # re-verified this round, the spillover next round ---
