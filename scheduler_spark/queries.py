@@ -3613,6 +3613,108 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "kneser_ney_logprob",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents),
+    bi AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM t WHERE len(toks) >= 2),
+    cb AS (SELECT gram, count(*) AS c_bi FROM bi GROUP BY gram),
+    cl AS (SELECT split_part(gram, ' ', 1) AS w1, count(*) AS c_left,
+                  count(DISTINCT split_part(gram, ' ', 2)) AS n_right
+           FROM bi GROUP BY 1),
+    cr AS (SELECT split_part(gram, ' ', 2) AS w2,
+                  count(DISTINCT split_part(gram, ' ', 1)) AS n_left
+           FROM bi GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cb),
+    scored AS (
+      SELECT bi.doc_id,
+             ln( (cb.c_bi - 0.75) / cl.c_left
+                 + (0.75 * cl.n_right / cl.c_left)
+                   * (cr.n_left / nt.n_types) ) AS lp
+      FROM bi
+      JOIN cb USING (gram)
+      JOIN cl ON cl.w1 = split_part(bi.gram, ' ', 1)
+      JOIN cr ON cr.w2 = split_part(bi.gram, ' ', 2)
+      CROSS JOIN nt)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under interpolated
+    Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.2, D=0.75)
+    — the standard n-gram LM for corpus quality scoring, one rung above
+    the add-k twin (`bigram_logprob_score`):
+
+        P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+                   + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    Every scored bigram is drawn from the counting corpus itself, so
+    c(w1w2) ≥ 1 and the max() never binds (D < 1).  Scale shape
+    matches the add-k gate: three vocabulary-bounded count tables
+    (bigram, left-context with right-type counts, right-continuation
+    type counts) joined back to the corpus bigrams, one scalar type
+    total pinned broadcast — the count tables are left to AQE, never
+    hint-broadcast (unbounded web vocabularies are a driver-OOM
+    hazard)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("toks"),
+    )
+    bi = t.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    w1 = F.substring_index("gram", " ", 1)
+    w2 = F.substring_index("gram", " ", -1)
+    cb = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
+    cl = (
+        bi.select(w1.alias("w1"), w2.alias("_w2"))
+        .groupBy("w1")
+        .agg(
+            F.count(F.lit(1)).alias("c_left"),
+            F.countDistinct("_w2").alias("n_right"),
+        )
+    )
+    cr = (
+        bi.select(w2.alias("w2"), w1.alias("_w1"))
+        .groupBy("w2")
+        .agg(F.countDistinct("_w1").alias("n_left"))
+    )
+    nt = cb.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    lp = F.log(
+        (F.col("c_bi") - 0.75) / F.col("c_left")
+        + (0.75 * F.col("n_right") / F.col("c_left"))
+        * (F.col("n_left") / F.col("n_types"))
+    )
+    return (
+        bi.join(cb, "gram")
+        .join(cl, F.substring_index(F.col("gram"), " ", 1) == F.col("w1"))
+        .join(cr, F.substring_index(F.col("gram"), " ", -1) == F.col("w2"))
+        .crossJoin(F.broadcast(nt))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
 # ===========================================================================
 # Token co-occurrence PMI over the bounded top-df vocabulary — the KG
 # edge-weighting pass (how strongly two vocabulary terms attract each
@@ -5878,6 +5980,7 @@ _PRIORITY = [
     "ppr_seed_entities",
     "graph_sssp_costs",
     "local_clustering_coeff",
+    "kneser_ney_logprob",
     # --- staleness rotation (r04 verdict #8): most recent green row is
     # r02 for these 50 — the ~39 that fit after the new entries get
     # re-verified this round, the spillover next round ---
