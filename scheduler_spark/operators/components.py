@@ -121,8 +121,11 @@ def connected_components(
     """Edge list → ENTITIES(entity_id, canonical_id).
 
     Every node that appears in `edges` gets a row; canonical_id is the
-    lexicographic min of its component.  Isolated nodes are the caller's
-    concern (left-join and coalesce to self).
+    lexicographic min of its component.  A node whose only edges are
+    self-loops is its own singleton component (a self-match asserts the
+    entity exists — it must not vanish from canonicalization).  Nodes
+    absent from `edges` entirely are the caller's concern (left-join
+    and coalesce to self).
     """
     def fingerprint(df: DataFrame) -> tuple:
         row = df.agg(
@@ -131,12 +134,22 @@ def connected_components(
         ).first()
         return (row["n"], row["h"])
 
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    # Nodes whose ONLY edges are self-loops: singleton components.  The
+    # anti-join is over two node-distinct sets (vocabulary-bounded, far
+    # smaller than the edge list), so this costs one cheap extra job —
+    # and only when self-loops exist at all (the count gate below).
+    selfers = raw.filter(F.col("u") == F.col("v")).select("u").distinct()
+    touched = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    singletons = (
+        selfers.join(touched, "u", "left_anti")
+        .select(F.col("u").alias("entity_id"), F.col("u").alias("canonical_id"))
     )
+
+    def with_singletons(out: DataFrame) -> DataFrame:
+        return enforce(out.unionByName(singletons), ENTITIES)
+
     # one aggregate decides the path: edge count AND estimated collect
     # size — both must fit the driver budget.  octet_length, not length:
     # character counts undercount multi-byte UTF-8 IRIs up to 4×; plus
@@ -150,12 +163,10 @@ def connected_components(
     n_edges = size_row["n"]
     est_bytes = size_row["payload_bytes"] + n_edges * 120
     if n_edges == 0:
-        return enforce(
-            e.sparkSession.createDataFrame([], ENTITIES), ENTITIES
-        )
+        return with_singletons(e.sparkSession.createDataFrame([], ENTITIES))
     if n_edges <= small_graph_threshold and est_bytes <= small_graph_max_bytes:
         pairs = [(r["u"], r["v"]) for r in e.collect()]
-        return enforce(_driver_union_find(e.sparkSession, pairs), ENTITIES)
+        return with_singletons(_driver_union_find(e.sparkSession, pairs))
 
     prev = fingerprint(e)
     for _ in range(max_iterations):
@@ -170,4 +181,4 @@ def connected_components(
         "canonical_id", F.col("entity_id")
     )
     out = labels.union(roots).distinct()
-    return enforce(out, ENTITIES)
+    return with_singletons(out)

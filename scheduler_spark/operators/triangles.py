@@ -107,8 +107,16 @@ def local_clustering_coefficient(
     inherits the O(m^{3/2}) wedge bound and hub safety of the global
     count; degrees are one groupBy over the symmetrized edge list.
     Output: (entity_id, degree BIGINT, n_triangles BIGINT,
-    clustering DOUBLE) for every node of the graph.
+    clustering DOUBLE) for every node of the graph — including nodes
+    whose only incident edges are self-loops (degree 0 in the simple
+    graph, clustering 0.0): the node universe is ALL edge endpoints,
+    not just endpoints of non-self edges.
     """
+    nodes = (
+        edges.select(F.col(src).alias("entity_id"))
+        .unionAll(edges.select(F.col(dst).alias("entity_id")))
+        .distinct()
+    )
     und = (
         edges.filter(F.col(src) != F.col(dst))
         .select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b"))
@@ -132,16 +140,22 @@ def local_clustering_coefficient(
         .groupBy("entity_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
-    return deg.join(tri_nodes, "entity_id", "left").select(
-        "entity_id",
-        "degree",
-        F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias("n_triangles"),
-        F.when(
-            F.col("degree") >= 2,
-            2.0
-            * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
-            / (F.col("degree") * (F.col("degree") - 1)),
+    return (
+        nodes.join(deg, "entity_id", "left")
+        .join(tri_nodes, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.coalesce(F.col("degree"), F.lit(0).cast("long")).alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
         )
-        .otherwise(F.lit(0.0))
-        .alias("clustering"),
     )

@@ -2275,12 +2275,16 @@ def _order_graph_edges(
     WITH RECURSIVE
     raw AS (
       {_ORDER_GRAPH_RAW_CTE}),
+    nodes AS (
+      SELECT DISTINCT u AS n FROM raw
+      UNION
+      SELECT DISTINCT v AS n FROM raw),
     edges AS (
       SELECT u, v FROM raw WHERE u != v
       UNION
       SELECT v, u FROM raw WHERE u != v),
     reach AS (
-      SELECT DISTINCT u AS src, u AS dst FROM edges
+      SELECT n AS src, n AS dst FROM nodes
       UNION
       SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u
     )
@@ -2291,8 +2295,11 @@ def connected_components_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """connected_components (large-star/small-star ≡ union-find) vs the
     SQL ground truth: transitive closure by recursive CTE, canonical =
     lexicographic min of each closure — exactly the operator's
-    contract.  The graph (~280 nodes, 56 components) derives
-    deterministically from o_orderkey on both sides."""
+    contract, including the degenerate class (the node universe is ALL
+    edge endpoints, so a self-loop-only node is its own singleton on
+    both sides).  The graph (350 nodes incl. 70 self-loop-only
+    singletons) derives deterministically from o_orderkey on both
+    sides."""
     from .operators.components import connected_components
 
     edges = _order_graph_edges(spark, sf_dir)
@@ -4465,11 +4472,16 @@ def _tri_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH raw AS (
       {_TRI_GRAPH_RAW_CTE}),
+    nodes AS (SELECT DISTINCT u AS entity_id FROM raw
+              UNION SELECT DISTINCT v FROM raw),
     und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
             FROM raw WHERE u <> v),
     sym AS (SELECT a AS u FROM und UNION ALL SELECT b FROM und),
-    deg AS (SELECT u AS entity_id, CAST(count(*) AS BIGINT) AS degree
-            FROM sym GROUP BY 1),
+    deg0 AS (SELECT u AS entity_id, CAST(count(*) AS BIGINT) AS degree
+             FROM sym GROUP BY 1),
+    deg AS (SELECT n.entity_id,
+                   CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
+            FROM nodes n LEFT JOIN deg0 d ON n.entity_id = d.entity_id),
     tris AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
              FROM und p1 JOIN und p2 ON p1.b = p2.a
              JOIN und p3 ON p3.a = p1.a AND p3.b = p2.b),
