@@ -2357,6 +2357,66 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_shortest_paths(raw, seeds, src="u", dst="v", max_hops=4)
 
 
+@query(
+    "graph_harmonic_centrality",
+    f"""
+    WITH RECURSIVE
+    raw AS (
+      {_ORDER_GRAPH_RAW_CTE}),
+    edges AS (
+      SELECT u, v FROM raw WHERE u != v
+      UNION
+      SELECT v, u FROM raw WHERE u != v),
+    seeds AS (SELECT DISTINCT u AS s FROM edges WHERE starts_with(u, 'b0_')),
+    walk AS (
+      SELECT s AS src, s AS dst, 0 AS dist FROM seeds
+      UNION
+      SELECT w.src, e.v AS dst, w.dist + 1 FROM walk w
+      JOIN edges e ON e.u = w.dst
+      WHERE w.dist < 4
+    ),
+    d AS (SELECT src, dst, min(dist) AS dist
+          FROM walk WHERE dst != src GROUP BY src, dst)
+    SELECT dst AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_seeds_reached,
+           CAST(sum(12 / dist) AS BIGINT) AS harmonic_x12,
+           round(sum(12 / dist) / 12.0, 6) AS harmonic
+    FROM d GROUP BY dst
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-sampled harmonic centrality (Boldi & Vigna 2014; the exact
+    small-seed-set analog of their HyperBall estimator): hc(v) =
+    Σ_seeds 1/d(s,v) over the bounded multi-source BFS distances the
+    `graph_bfs_distances` gate already pins, radius 4.  At 100 TB the
+    seed set is a fixed sample, so cost = one BFS frontier loop
+    (equi-joins, localCheckpoint discipline) + one rollup — never
+    all-pairs.
+
+    Cross-engine exactness: dist ∈ {1..4}, so 12/dist is an INTEGER
+    (12, 6, 4, 3); the rollup sums BIGINTs (order-independent, no float
+    summation noise) and divides once at the end — harmonic_x12 is the
+    exact fixed-point value, harmonic the display double."""
+    from .operators.bfs import bfs_shortest_paths
+
+    raw = _order_graph_edges(spark, sf_dir, src="u", dst="v").filter(
+        F.col("u") != F.col("v")
+    )
+    sym = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = (
+        sym.filter(F.col("u").startswith("b0_"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
+    d = bfs_shortest_paths(raw, seeds, src="u", dst="v", max_hops=4)
+    x12 = F.sum((F.lit(12) / F.col("dist")).cast("long"))
+    return d.groupBy(F.col("dst_node").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seeds_reached"),
+        x12.cast("long").alias("harmonic_x12"),
+        F.round(x12 / 12.0, 6).alias("harmonic"),
+    )
+
+
 # ===========================================================================
 # KG analytics over the committed golden triples — entity popularity
 # ===========================================================================
@@ -3620,10 +3680,9 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "kneser_ney_logprob",
-    """
-    WITH t AS (
+# The Kneser-Ney per-doc scoring CTE chain, shared verbatim by the
+# kneser_ney_logprob gate and the CCNet bucket gate built on top of it.
+_KN_DOC_SCORE_CTES = """t AS (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
       FROM documents),
     bi AS (
@@ -3647,11 +3706,19 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cb USING (gram)
       JOIN cl ON cl.w1 = split_part(bi.gram, ' ', 1)
       JOIN cr ON cr.w2 = split_part(bi.gram, ' ', 2)
-      CROSS JOIN nt)
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(lp), 6) AS avg_logprob
-    FROM scored GROUP BY doc_id
+      CROSS JOIN nt),
+    kn AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(lp), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id)"""
+
+
+@query(
+    "kneser_ney_logprob",
+    f"""
+    WITH {_KN_DOC_SCORE_CTES}
+    SELECT doc_id, n_bigrams, avg_logprob FROM kn
     """,
 )
 def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3718,6 +3785,57 @@ def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH {_KN_DOC_SCORE_CTES}
+    SELECT kn.doc_id, d.lang,
+           kn.avg_logprob,
+           round(exp(-kn.avg_logprob), 4) AS ppl,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY kn.avg_logprob DESC, kn.doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM kn JOIN documents d ON kn.doc_id = d.doc_id
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): per
+    language, rank documents by LM perplexity and split into equal
+    head/middle/tail tertiles — the standard coarse quality partition a
+    web-corpus pipeline feeds to downstream sampling.  The LM is the
+    interpolated Kneser-Ney gate (`kneser_ney_logprob`); ppl =
+    exp(−mean logprob), and LOWER perplexity = head.
+
+    Cross-engine determinism: the tertile boundary is computed on the
+    6-dp-ROUNDED mean logprob (already the KN gate's output contract)
+    with doc_id as the total-order tie-break, so ntile(3) assigns
+    identically in both engines; ppl is display-only (4 dp).  Docs with
+    <2 tokens have no bigrams and drop out (inner-join semantics, the
+    KN contract).
+
+    Scale shape: inherits the KN gate's (vocabulary-bounded count
+    tables, one corpus gram rollup); the added cost is one per-lang
+    window sort over doc-level rows — ~1e9 rows/lang at 100 TB, a
+    single range-partitioned sort, no new corpus-scale shuffle."""
+    kn = kneser_ney_logprob(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    tert = F.ntile(3).over(w)
+    return (
+        kn.join(d, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
+            F.when(tert == 1, "head")
+            .when(tert == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
         )
     )
 
@@ -4514,6 +4632,143 @@ def local_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         "n_triangles",
         F.round("clustering", 6).alias("clustering"),
+    )
+
+
+@query(
+    "graph_assortativity",
+    f"""
+    WITH raw AS (
+      {_TRI_GRAPH_RAW_CTE}),
+    und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+            FROM raw WHERE u <> v),
+    sym AS (SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1)
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+           round(corr(du.d, dv.d), 6) AS assortativity
+    FROM sym JOIN deg du ON sym.u = du.n JOIN deg dv ON sym.v = dv.n
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002 eq. 4): Pearson
+    correlation of endpoint degrees over the symmetrized simple edge
+    list (each undirected edge contributes both orientations, the
+    standard convention).  One scalar describing whether hubs attach
+    to hubs — the first mixing diagnostic on a KG entity graph.
+
+    Scale shape: a degree rollup + two dim joins of the edge list
+    against the (vocabulary-sized) degree table + one corr() aggregate
+    — corr is a single-pass commutative sketch (sums and co-moments),
+    so the whole statistic is one map-side-combined pass at 100 TB.
+    Pearson r is a ratio, so sample-vs-population variance conventions
+    cancel and both engines agree; 6-dp rounding absorbs
+    summation-order ulp noise."""
+    raw = _tri_graph_edges(spark, sf_dir).select(
+        F.col("src_entity").alias("u"), F.col("dst_entity").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    und = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("d_u"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("d_v"))
+    return (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.round(F.corr("d_u", "d_v"), 6).alias("assortativity"),
+        )
+    )
+
+
+@query(
+    "kg_feature_propagation",
+    f"""
+    WITH raw AS (
+      {_TRI_GRAPH_RAW_CTE}),
+    nodes AS (SELECT DISTINCT u AS n FROM raw
+              UNION SELECT DISTINCT v FROM raw),
+    und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+            FROM raw WHERE u <> v),
+    sym AS (SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b, a FROM und),
+    x0 AS (SELECT n, CAST(n % 10 + 1 AS BIGINT) AS x FROM nodes),
+    agg1 AS (SELECT s.u AS n, sum(x0.x) AS nbr
+             FROM sym s JOIN x0 ON s.v = x0.n GROUP BY s.u),
+    x1 AS (SELECT x0.n, x0.x + coalesce(agg1.nbr, 0) AS x
+           FROM x0 LEFT JOIN agg1 ON x0.n = agg1.n),
+    agg2 AS (SELECT s.u AS n, sum(x1.x) AS nbr
+             FROM sym s JOIN x1 ON s.v = x1.n GROUP BY s.u),
+    x2 AS (SELECT x1.n, x1.x + coalesce(agg2.nbr, 0) AS x
+           FROM x1 LEFT JOIN agg2 ON x1.n = agg2.n),
+    deg AS (SELECT u AS n, count(*) AS d FROM sym GROUP BY 1)
+    SELECT x2.n AS entity_id,
+           x0.x AS x0,
+           CAST(x2.x AS BIGINT) AS agg2,
+           round(x2.x / ((coalesce(deg.d, 0) + 1.0)
+                         * (coalesce(deg.d, 0) + 1.0)), 6) AS x2_norm
+    FROM x2 JOIN x0 ON x2.n = x0.n LEFT JOIN deg ON x2.n = deg.n
+    """,
+)
+def kg_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop self-inclusive feature aggregation — the SGC/GraphSAGE
+    propagation primitive (Wu et al. 2019: k rounds of neighborhood
+    aggregation with the nonlinearity dropped, which is exactly k
+    rounds of join+groupBy): x_next(v) = x(v) + Σ_{u∈N(v)} x(u)
+    over the simple undirected graph, seed feature x0 = id%10+1.
+
+    Per-hop mean-normalization is deferred to ONE final division by
+    (deg+1)² so every intermediate stays an exact BIGINT — integer
+    sums are summation-order-independent, which keeps both engines
+    bit-identical through two propagation rounds (the same trick as
+    the harmonic gate's ×12 fixed point).  Scale shape: each round is
+    one edge⨝feature equi-join + one map-side-combined rollup — the
+    canonical distributed GNN-preprocessing pass; k rounds = k
+    shuffles on the edge key, never materializing neighborhoods."""
+    raw = _tri_graph_edges(spark, sf_dir).select(
+        F.col("src_entity").alias("u"), F.col("dst_entity").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    nodes = (
+        raw.select(F.col("u").alias("n"))
+        .union(raw.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    und = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    x = nodes.select("n", (F.pmod("n", F.lit(10)) + 1).cast("long").alias("x"))
+    x0 = x
+    for _ in range(2):
+        nbr = (
+            sym.join(x.withColumnRenamed("n", "v"), "v")
+            .groupBy(F.col("u").alias("n"))
+            .agg(F.sum("x").alias("nbr"))
+        )
+        x = x.join(nbr, "n", "left").select(
+            "n",
+            (F.col("x") + F.coalesce(F.col("nbr"), F.lit(0))).cast("long").alias("x"),
+        )
+    deg = sym.groupBy(F.col("u").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    dd = F.coalesce(F.col("d"), F.lit(0)) + 1.0
+    return (
+        x.join(x0.withColumnRenamed("x", "x0"), "n")
+        .join(deg, "n", "left")
+        .select(
+            F.col("n").alias("entity_id"),
+            F.col("x0").alias("x0"),
+            F.col("x").alias("agg2"),
+            F.round(F.col("x") / (dd * dd), 6).alias("x2_norm"),
+        )
     )
 
 
@@ -5458,6 +5713,54 @@ def stratified_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
     return d.filter(bucket < "34").select("doc_id", "source")
 
 
+@query(
+    "weighted_sample_aes",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars AS w,
+             ln( (((doc_id % 9999991) * 2654435761) % 1000003 + 0.5)
+                 / 1000003.0 )
+             / greatest(n_chars, 1) AS aes_key
+      FROM documents)
+    SELECT doc_id, source, CAST(w AS BIGINT) AS w, round(aes_key, 9) AS aes_key
+    FROM keyed ORDER BY aes_key DESC, doc_id LIMIT 200
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by exponential races —
+    the A-ES one-pass distributed algorithm (Efraimidis & Spirakis
+    2006): each item gets key = u^(1/w) for u ~ U(0,1), and the global
+    top-k keys ARE an exact weighted sample.  Ranking on ln(u)/w
+    (monotone in u^(1/w), no pow) with weight = n_chars; u is the
+    overflow-safe pre-mod Knuth hash of doc_id (the corpus_mix
+    pattern), so the sample is deterministic and engine-independent —
+    reproducible training-subset carving, unlike rand()-based sampleBy.
+
+    Scale shape: one narrow map over the scan + global top-k — Spark
+    plans orderBy().limit(k) as TakeOrderedAndProject (per-partition
+    k-heaps + a k-row driver merge), so NO full sort shuffle ever
+    happens; at 100 TB the only cross-node traffic is k rows per
+    partition.  doc_id breaks exact key ties; keys differ at ~1e-9+
+    granularity so cross-engine libm ulp noise cannot reorder."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        (F.pmod("doc_id", F.lit(9999991)) * F.lit(2654435761)) % F.lit(1000003)
+        + 0.5
+    ) / 1000003.0
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("w"),
+            key.alias("aes_key"),
+        )
+        .orderBy(F.desc("aes_key"), "doc_id")
+        .limit(200)
+        .select("doc_id", "source", "w", F.round("aes_key", 9).alias("aes_key"))
+    )
+
+
 def _contamination_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, is_eval, s=distinct 20-grams) — the shared
     input of both contamination shapes (md5-carved eval split)."""
@@ -5993,6 +6296,11 @@ _PRIORITY = [
     "graph_sssp_costs",
     "local_clustering_coeff",
     "kneser_ney_logprob",
+    "ccnet_perplexity_buckets",
+    "graph_harmonic_centrality",
+    "graph_assortativity",
+    "kg_feature_propagation",
+    "weighted_sample_aes",
     # --- staleness rotation (r04 verdict #8): most recent green row is
     # r02 for these 50 — the ~39 that fit after the new entries get
     # re-verified this round, the spillover next round ---
