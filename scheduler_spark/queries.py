@@ -2878,6 +2878,88 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_label_accuracy",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, e AS eq, label AS true_label
+          FROM v WHERE vec_id < 50),
+    scored AS (
+      SELECT q.qid, q.true_label, c.label,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               round(list_dot_product(q.eq, c.e)
+                     / (sqrt(list_dot_product(q.eq, q.eq))
+                        * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+               c.vec_id) AS rank
+      FROM q JOIN v c ON q.qid <> c.vec_id),
+    votes AS (
+      SELECT qid, true_label, label, count(*) AS n
+      FROM scored WHERE rank <= 10 GROUP BY qid, true_label, label),
+    pred AS (
+      SELECT qid, true_label, label AS pred_label,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY n DESC, label) AS rn
+      FROM votes)
+    SELECT qid AS vec_id, CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           pred_label = true_label AS correct
+    FROM pred WHERE rn = 1
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification sanity gate over the labeled embedding
+    table: for 50 deterministic probes, predict the label by majority
+    vote of the 10 nearest neighbors (cosine) and report per-probe
+    correctness — the standard embedding-quality probe a training
+    pipeline runs after ingesting a labeled corpus.
+
+    Determinism: neighbors rank on the 6-dp-ROUNDED cosine with
+    vec_id as tie-break; the vote ranks on (count DESC, label ASC),
+    so ties resolve to the smaller label in both engines.  Scale
+    shape: probe set is fixed-size (broadcast side of the scoring
+    join), one corpus scan, per-probe top-k window, and a 10-row-
+    per-probe vote rollup — at 100 TB this is the same access path
+    as ann_cosine_topk (or its IVF/LSH scale variants drop in)."""
+    v = _spread(spark, _t(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    q = v.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("eq"),
+        F.col("label").alias("true_label"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ec"),
+        F.col("label").alias("clabel"),
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), "cid"
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", F.round(_cosine(F.col("eq"), F.col("ec")), 6))
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+    )
+    votes = scored.groupBy("qid", "true_label", "clabel").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("n"), "clabel")
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("clabel").cast("long").alias("pred_label"),
+            (F.col("clabel") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
 # ===========================================================================
 # Text analysis: language-ID heuristic, quality score, token counts
 # ===========================================================================
@@ -4953,6 +5035,103 @@ def kg_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gnn_neighbor_sampling",
+    f"""
+    WITH raw AS (
+      {_TRI_GRAPH_RAW_CTE}),
+    und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+            FROM raw WHERE u <> v),
+    sym AS (SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b, a FROM und),
+    keyed AS (SELECT u, v,
+                     md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS hk
+              FROM sym),
+    h1 AS (SELECT u AS seed, v AS node FROM (
+             SELECT u, v,
+                    row_number() OVER (PARTITION BY u ORDER BY hk, v) AS rn
+             FROM keyed WHERE u < 10) WHERE rn <= 3),
+    h2 AS (SELECT seed, parent, node FROM (
+             SELECT h1.seed, h1.node AS parent, k.v AS node,
+                    row_number() OVER (PARTITION BY h1.seed, h1.node
+                                       ORDER BY k.hk, k.v) AS rn
+             FROM h1 JOIN keyed k ON k.u = h1.node
+             WHERE k.v <> h1.seed) WHERE rn <= 2)
+    SELECT CAST(seed AS BIGINT) AS seed, CAST(1 AS BIGINT) AS hop,
+           CAST(seed AS BIGINT) AS parent, CAST(node AS BIGINT) AS node
+    FROM h1
+    UNION ALL
+    SELECT CAST(seed AS BIGINT), CAST(2 AS BIGINT),
+           CAST(parent AS BIGINT), CAST(node AS BIGINT)
+    FROM h2
+    """,
+)
+def gnn_neighbor_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style fixed-fanout neighbor-block sampling (Hamilton
+    et al. 2017 §3.1): for each seed (nodes < 10), sample 3 hop-1
+    neighbors, then 2 hop-2 neighbors per sampled parent (excluding
+    the immediate backtrack to the seed) — the mini-batch block a
+    distributed GNN trainer materializes per training step.
+
+    Determinism: the "random" neighbor order is md5(u:v) — a fixed
+    engine-independent permutation per adjacency list (the stratified-
+    sample carve convention), with v as the total-order tie-break, so
+    both engines draw identical blocks.  Scale shape: two window-
+    ranked passes over the (partitioned-by-source-node) edge list plus
+    one equi-join seed-block → neighbors — per-node state is bounded
+    by the fanout, never the degree, which is what makes the sample
+    (unlike a full 2-hop expansion) safe on power-law graphs."""
+    raw = _tri_graph_edges(spark, sf_dir).select(
+        F.col("src_entity").alias("u"), F.col("dst_entity").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    und = raw.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    keyed = sym.select(
+        "u",
+        "v",
+        F.md5(
+            F.concat_ws(
+                ":", F.col("u").cast("string"), F.col("v").cast("string")
+            ).cast("binary")
+        ).alias("hk"),
+    )
+    w1 = Window.partitionBy("u").orderBy("hk", "v")
+    h1 = (
+        keyed.filter(F.col("u") < 10)
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("u").alias("seed"), F.col("v").alias("node"))
+    )
+    k2 = keyed.select(
+        F.col("u").alias("node"), F.col("v").alias("n2"), F.col("hk").alias("hk2")
+    )
+    w2 = Window.partitionBy("seed", "node").orderBy("hk2", "n2")
+    h2 = (
+        h1.join(k2, "node")
+        .filter(F.col("n2") != F.col("seed"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 2)
+        .select("seed", F.col("node").alias("parent"), F.col("n2").alias("node"))
+    )
+    one = h1.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.lit(1).cast("long").alias("hop"),
+        F.col("seed").cast("long").alias("parent"),
+        F.col("node").cast("long").alias("node"),
+    )
+    two = h2.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.lit(2).cast("long").alias("hop"),
+        F.col("parent").cast("long").alias("parent"),
+        F.col("node").cast("long").alias("node"),
+    )
+    return one.unionAll(two)
+
+
+@query(
     "kg_hits_scores",
     f"""
     WITH raw AS (
@@ -5941,6 +6120,57 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shard_assignment",
+    """
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             ((doc_id % 9999991) * 2654435761) % 16 AS shard
+      FROM documents),
+    per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM sharded GROUP BY shard)
+    SELECT CAST(shard AS BIGINT) AS shard, n_docs, sum_chars,
+           round(n_docs / (sum(n_docs) OVER () / 16.0), 4) AS balance
+    FROM per
+    """,
+)
+def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment + balance audit: each
+    document hashes to one of 16 output shards via the overflow-safe
+    pre-mod Knuth multiplier (the corpus_mix/weighted-sample hash, so
+    the shard layout is reproducible across engines and runs — the
+    property a resumable tokenize-and-pack job needs), and the gate
+    reports per-shard doc/char totals plus the balance ratio
+    n_docs/(N/16), the skew alarm a shard writer checks before
+    launching 16 equal-sized downstream tasks.
+
+    Scale shape: one map-side-combined 16-group rollup over the scan
+    and a 16-row window — the audit is free; the assignment column is
+    the same expression `df.write.partitionBy`/repartition(16, col)
+    would consume, so the gate pins exactly what the writer ships."""
+    d = _t(spark, sf_dir, "documents")
+    shard = (F.pmod("doc_id", F.lit(9999991)) * F.lit(2654435761)) % F.lit(16)
+    per = (
+        d.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    return per.select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "sum_chars",
+        F.round(
+            F.col("n_docs") / (F.sum("n_docs").over(Window.partitionBy()) / 16.0),
+            4,
+        ).alias("balance"),
+    )
+
+
 def _contamination_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, source, is_eval, s=distinct 20-grams) — the shared
     input of both contamination shapes (md5-carved eval split)."""
@@ -6641,6 +6871,9 @@ _PRIORITY = [
     "embedding_int8_quant",
     "semantic_contamination",
     "semantic_contamination_lsh_recall",
+    "gnn_neighbor_sampling",
+    "knn_label_accuracy",
+    "shard_assignment",
     # --- staleness rotation (r04 verdict #8): most recent green row is
     # r02 for these 50 — the ~39 that fit after the new entries get
     # re-verified this round, the spillover next round ---
