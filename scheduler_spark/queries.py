@@ -2417,6 +2417,106 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_betweenness_seeded",
+    f"""
+    WITH
+    raw AS (
+      {_ORDER_GRAPH_RAW_CTE}),
+    edges AS (
+      SELECT u, v FROM raw WHERE u != v
+      UNION
+      SELECT v, u FROM raw WHERE u != v),
+    seeds AS (SELECT DISTINCT u AS s FROM edges WHERE starts_with(u, 'b0_')),
+    l0 AS (SELECT s, s AS v, CAST(1 AS BIGINT) AS sigma FROM seeds),
+    l1 AS MATERIALIZED (
+      SELECT f.s, e.v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+      FROM l0 f JOIN edges e ON e.u = f.v
+      WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.s = f.s AND p.v = e.v)
+      GROUP BY f.s, e.v),
+    l2 AS MATERIALIZED (
+      SELECT f.s, e.v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+      FROM l1 f JOIN edges e ON e.u = f.v
+      WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.s = f.s AND p.v = e.v)
+        AND NOT EXISTS (SELECT 1 FROM l1 p WHERE p.s = f.s AND p.v = e.v)
+      GROUP BY f.s, e.v),
+    l3 AS MATERIALIZED (
+      SELECT f.s, e.v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+      FROM l2 f JOIN edges e ON e.u = f.v
+      WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.s = f.s AND p.v = e.v)
+        AND NOT EXISTS (SELECT 1 FROM l1 p WHERE p.s = f.s AND p.v = e.v)
+        AND NOT EXISTS (SELECT 1 FROM l2 p WHERE p.s = f.s AND p.v = e.v)
+      GROUP BY f.s, e.v),
+    l4 AS MATERIALIZED (
+      SELECT f.s, e.v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+      FROM l3 f JOIN edges e ON e.u = f.v
+      WHERE NOT EXISTS (SELECT 1 FROM l0 p WHERE p.s = f.s AND p.v = e.v)
+        AND NOT EXISTS (SELECT 1 FROM l1 p WHERE p.s = f.s AND p.v = e.v)
+        AND NOT EXISTS (SELECT 1 FROM l2 p WHERE p.s = f.s AND p.v = e.v)
+        AND NOT EXISTS (SELECT 1 FROM l3 p WHERE p.s = f.s AND p.v = e.v)
+      GROUP BY f.s, e.v),
+    d3 AS MATERIALIZED (
+      SELECT u3.s, u3.v,
+             sum(u3.sigma * 1.0 / w4.sigma * (1 + 0.0)) AS delta
+      FROM l3 u3 JOIN edges e ON e.u = u3.v
+      JOIN l4 w4 ON w4.s = u3.s AND w4.v = e.v
+      GROUP BY u3.s, u3.v),
+    d2 AS MATERIALIZED (
+      SELECT u2.s, u2.v,
+             sum(u2.sigma * 1.0 / w3.sigma
+                 * (1 + coalesce(d3.delta, 0.0))) AS delta
+      FROM l2 u2 JOIN edges e ON e.u = u2.v
+      JOIN l3 w3 ON w3.s = u2.s AND w3.v = e.v
+      LEFT JOIN d3 ON d3.s = w3.s AND d3.v = w3.v
+      GROUP BY u2.s, u2.v),
+    d1 AS MATERIALIZED (
+      SELECT u1.s, u1.v,
+             sum(u1.sigma * 1.0 / w2.sigma
+                 * (1 + coalesce(d2.delta, 0.0))) AS delta
+      FROM l1 u1 JOIN edges e ON e.u = u1.v
+      JOIN l2 w2 ON w2.s = u1.s AND w2.v = e.v
+      LEFT JOIN d2 ON d2.s = w2.s AND d2.v = w2.v
+      GROUP BY u1.s, u1.v),
+    reached AS (
+      SELECT s, v FROM l1 UNION ALL SELECT s, v FROM l2
+      UNION ALL SELECT s, v FROM l3 UNION ALL SELECT s, v FROM l4),
+    deltas AS (
+      SELECT s, v, delta FROM d1 UNION ALL SELECT s, v, delta FROM d2
+      UNION ALL SELECT s, v, delta FROM d3)
+    SELECT r.v AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_seed_paths,
+           round(sum(coalesce(d.delta, 0.0)), 6) AS betweenness
+    FROM reached r LEFT JOIN deltas d ON d.s = r.s AND d.v = r.v
+    GROUP BY r.v
+    """,
+)
+def graph_betweenness_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-sampled bounded-radius betweenness centrality — Brandes
+    (2001) forward σ path counting + backward dependency accumulation,
+    restricted to the b0_ seed set and radius 4 (the Brandes & Pich
+    2007 pivot-sampling estimator; same seeds and radius as the
+    harmonic gate).  See operators/betweenness.py for the distributed
+    shape; the DuckDB twin unrolls the 4 forward levels and 3 backward
+    accumulation levels as materialized CTEs.
+
+    Cross-engine: σ values are exact BIGINTs; δ is a sum of exact
+    ratios and rounds at 6 dp (the PageRank/HITS ratio-sum
+    discipline).  BFS levels are disjoint, so each (seed, node) pair
+    appears in exactly one level table in both engines."""
+    from .operators.betweenness import seeded_betweenness
+
+    raw = _order_graph_edges(spark, sf_dir, src="u", dst="v").filter(
+        F.col("u") != F.col("v")
+    )
+    sym = raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seeds = (
+        sym.filter(F.col("u").startswith("b0_"))
+        .select(F.col("u").alias("node"))
+        .distinct()
+    )
+    return seeded_betweenness(raw, seeds, src="u", dst="v", max_depth=4)
+
+
 # ===========================================================================
 # KG analytics over the committed golden triples — entity popularity
 # ===========================================================================
@@ -6121,6 +6221,53 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+    SELECT prev_type, next_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS p
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (prev → next) event-type bigrams and the
+    row-conditional probability P(next | prev) — the journey model
+    behind funnel diagnostics and next-event prediction baselines.
+    Sequence order is (ts, event_id), the sessionize gate's total
+    order, so lag() is deterministic in both engines; p is an exact
+    BIGINT ratio so the 6-dp rounding has no summation noise.
+
+    Scale shape: one shuffle on user_id for the lag window (the same
+    partitioning the sessionize/funnel gates reuse), then a
+    |event-types|²-bounded rollup — constant-size state at 100 TB —
+    and a window over that constant-size matrix."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias("p"),
+    )
+
+
+@query(
     "shard_assignment",
     """
     WITH sharded AS (
@@ -6874,6 +7021,8 @@ _PRIORITY = [
     "gnn_neighbor_sampling",
     "knn_label_accuracy",
     "shard_assignment",
+    "event_transition_matrix",
+    "graph_betweenness_seeded",
     # --- staleness rotation (r04 verdict #8): most recent green row is
     # r02 for these 50 — the ~39 that fit after the new entries get
     # re-verified this round, the spillover next round ---

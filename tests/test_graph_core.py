@@ -157,3 +157,54 @@ def test_transitive_closure_cycle_terminates(spark):
         for r in transitive_closure(e).collect()
     }
     assert got == {(1, 2), (2, 1), (1, 3), (2, 3)}
+
+
+def test_betweenness_path_graph_hand_computed(spark):
+    # P5 a-b-c-d-e seeded at a: sigma = 1 everywhere, so delta(v) is
+    # the count of downstream nodes — b:3, c:2, d:1, e:0 — the
+    # textbook Brandes accumulation on a single shortest-path chain
+    from scheduler_spark.operators.betweenness import seeded_betweenness
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["entity_id"]: (r["n_seed_paths"], r["betweenness"])
+        for r in seeded_betweenness(
+            e, seeds, src="src_entity", dst="dst_entity", max_depth=4
+        ).collect()
+    }
+    assert out == {2: (1, 3.0), 3: (1, 2.0), 4: (1, 1.0), 5: (1, 0.0)}
+
+
+def test_betweenness_diamond_splits_dependency(spark):
+    # diamond s-{a,b}-t: sigma(t) = 2, so each middle node brokers
+    # exactly half the s→t dependency — delta(a) = delta(b) = 0.5
+    from scheduler_spark.operators.betweenness import seeded_betweenness
+
+    e = _edges(spark, [(10, 20), (10, 30), (20, 40), (30, 40)])
+    seeds = spark.createDataFrame([(10,)], "node long")
+    out = {
+        r["entity_id"]: r["betweenness"]
+        for r in seeded_betweenness(
+            e, seeds, src="src_entity", dst="dst_entity", max_depth=4
+        ).collect()
+    }
+    assert out == {20: 0.5, 30: 0.5, 40: 0.0}
+
+
+def test_betweenness_radius_bound_truncates(spark):
+    # same P5 seeded at a but max_depth=2: e is outside the radius, so
+    # it neither appears nor contributes to c's dependency (b still
+    # brokers c at depth 2: delta(b) = 1 + delta... with d,e cut,
+    # delta(c)=0, delta(b)=1)
+    from scheduler_spark.operators.betweenness import seeded_betweenness
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["entity_id"]: r["betweenness"]
+        for r in seeded_betweenness(
+            e, seeds, src="src_entity", dst="dst_entity", max_depth=2
+        ).collect()
+    }
+    assert out == {2: 1.0, 3: 0.0}
