@@ -131,6 +131,15 @@ HEADLINE = [
     "bpe_encode_tokens",
     "q8_national_market_share",
     "q13_customer_distribution",
+    # round-5 adds (late batch): BM25 posting-fetch retrieval, the
+    # int8 quantization map pass, and CCNet perplexity tertiles over
+    # the Kneser-Ney LM — all corpus-proportional.  The new graph
+    # gates (betweenness, harmonic, assortativity, feature
+    # propagation, GNN sampling) run on constant-size synthetic
+    # graphs and stay out, like the earlier graph gates.
+    "bm25_topk",
+    "embedding_int8_quant",
+    "ccnet_perplexity_buckets",
 ]
 
 KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))
