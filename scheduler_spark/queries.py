@@ -5981,6 +5981,54 @@ def kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "deepwalk_skipgram_pairs",
+    f"""
+    WITH w AS ({_walks_unrolled_sql(3)}),
+    pairs AS (
+      SELECT a.node AS center, b.node AS context
+      FROM w a JOIN w b
+        ON a.start_node = b.start_node
+       AND abs(a.step - b.step) BETWEEN 1 AND 2)
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY center, context
+    """,
+)
+def deepwalk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) training-pair extraction from the
+    deterministic walk corpus — the step between DeepWalk sentence
+    generation (`kg_random_walks`) and word2vec-style embedding
+    training (Perozzi et al. 2014 §4.2; window = 2): every ordered
+    pair of walk positions within distance 2 becomes a training
+    example, aggregated to (center, context, count).
+
+    Integer-only (deterministic walks, exact counts).  Scale shape:
+    walks self-join on the walk id — walks are length-bounded (≤4
+    rows each), so the join fans out ≤ 2·window·length per walk, and
+    the pair rollup map-side-combines into vocabulary²-bounded state;
+    at 100 TB this is one shuffle on walk id + one on the pair key,
+    the canonical embedding-corpus preprocessing pass."""
+    from .operators.walks import deterministic_walks
+
+    w = deterministic_walks(_kcore_graph_edges(spark, sf_dir), length=3)
+    a = w.select(
+        F.col("start_node").alias("sid"),
+        F.col("step").alias("sa"),
+        F.col("node").alias("center"),
+    )
+    b = w.select(
+        F.col("start_node").alias("sid"),
+        F.col("step").alias("sb"),
+        F.col("node").alias("context"),
+    )
+    pairs = a.join(b, "sid").filter(
+        F.abs(F.col("sa") - F.col("sb")).between(1, 2)
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@query(
     "sketch_distinct_users",
     """
     SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
@@ -7211,6 +7259,7 @@ _PRIORITY = [
     "graph_betweenness_seeded",
     "ann_int8_recall",
     "graph_effective_diameter",
+    "deepwalk_skipgram_pairs",
     # --- staleness rotation (r04 verdict #8): most recent green row is
     # r02 for these 50 — the ~39 that fit after the new entries get
     # re-verified this round, the spillover next round ---
