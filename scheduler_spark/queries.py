@@ -4993,6 +4993,137 @@ def kg_kcore_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(_kcore_graph_edges(spark, sf_dir), k=2)
 
 
+_TRUSS_RAW_SQL = """SELECT o_orderkey % 97 AS u,
+             ((o_orderkey // 11) * 13 + 1) % 97 AS v
+      FROM orders WHERE o_orderkey < 1000"""
+
+
+def _truss_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _TRUSS_RAW_SQL — a 97-node / 941-edge graph dense
+    enough to carry triangle structure (the shared order graph and the
+    k-core quadratic-residue graph are both triangle-free): the second
+    coordinate mixes o_orderkey DIV 11, so each residue class emits
+    many distinct edges.  Identical at every SF (o_orderkey < 1000
+    prefix is shared; checked at sf0.001/0.01/0.1)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    k = F.col("o_orderkey")
+    return o.select(
+        F.pmod(k, F.lit(97)).alias("src_entity"),
+        F.pmod(F.expr("o_orderkey div 11") * 13 + 1, F.lit(97)).alias(
+            "dst_entity"
+        ),
+    )
+
+
+def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
+    """DuckDB twin of the iterative truss peel: round r counts each
+    surviving edge's triangle support within e_{r-1} (id-ordered wedge
+    join — orientation-invariant, so the simple declarative shape stays
+    the oracle while the engine runs degree-ordered) and keeps edges
+    with support ≥ k−2.  Unroll depth must cover the true peel depth
+    (7 for the k=5 gate at every SF; `rounds` gives margin — past the
+    fixpoint the rounds are no-ops).  AS MATERIALIZED is load-bearing,
+    same reason as _kcore_unrolled_sql."""
+    parts = [
+        f"raw AS ({_TRUSS_RAW_SQL})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b"
+        " FROM raw WHERE u <> v)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"adj{r} AS MATERIALIZED (SELECT a, b FROM e{r-1} "
+            f"UNION ALL SELECT b AS a, a AS b FROM e{r-1})"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT c.a, c.b, count(*) AS s "
+            f"FROM e{r-1} c JOIN adj{r} w1 ON w1.a = c.a "
+            f"JOIN adj{r} w2 ON w2.a = c.b AND w2.b = w1.b "
+            f"GROUP BY c.a, c.b)"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b FROM s{r} WHERE s >= {k - 2})"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT a AS node_u, b AS node_v, CAST(s AS BIGINT) AS support
+    FROM s{rounds} WHERE s >= {k - 2}
+    """
+    )
+
+
+@query("kg_ktruss_5truss", _ktruss_unrolled_sql(5, 9))
+def kg_ktruss_5truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-truss of the dense entity graph (operators/truss.ktruss): the
+    edges embedded in ≥3 triangles of the surviving subgraph — the
+    edge-level cohesion filter after the k-core's node-level one.  The
+    engine peels to fixpoint with one degree-ordered triangle
+    enumeration per round (RuntimeError on max_rounds exhaustion, the
+    closure.py contract); the oracle unrolls 9 id-ordered peel rounds
+    (true depth 7, 941 → 38 edges).  Integer-only, no ulp guard."""
+    from .operators.truss import ktruss
+
+    return ktruss(_truss_graph_edges(spark, sf_dir), k=5)
+
+
+@query(
+    "graph_modularity",
+    f"""
+    WITH raw AS (
+      {_ORDER_GRAPH_RAW_CTE}),
+    fwd AS (SELECT u, v FROM raw WHERE u <> v),
+    edges AS (SELECT u, v FROM fwd UNION SELECT v AS u, u AS v FROM fwd),
+    voting AS (SELECT u, v FROM edges
+               UNION SELECT DISTINCT u, u AS v FROM edges),
+    l0 AS (SELECT DISTINCT u AS n, u AS label FROM edges),
+    c1 AS (
+      SELECT e.u AS n, l.label, count(*) AS c
+      FROM voting e JOIN l0 l ON e.v = l.n GROUP BY e.u, l.label),
+    l1 AS (
+      SELECT n, label FROM (
+        SELECT n, label,
+               row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+        FROM c1) WHERE rn = 1),
+    c2 AS (
+      SELECT e.u AS n, l.label, count(*) AS c
+      FROM voting e JOIN l1 l ON e.v = l.n GROUP BY e.u, l.label),
+    l2 AS (
+      SELECT n, label FROM (
+        SELECT n, label,
+               row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+        FROM c2) WHERE rn = 1),
+    m2 AS (SELECT count(*) AS m2 FROM edges),
+    deg AS (SELECT u AS n, count(*) AS d FROM edges GROUP BY u),
+    comm AS (SELECT l.label AS c, count(*) AS n_nodes, sum(d.d) AS deg_sum
+             FROM l2 l JOIN deg d ON l.n = d.n GROUP BY l.label),
+    intra AS (SELECT cu.label AS c, count(*) AS intra_sym
+              FROM edges e JOIN l2 cu ON e.u = cu.n JOIN l2 cv ON e.v = cv.n
+              WHERE cu.label = cv.label GROUP BY cu.label)
+    SELECT comm.c AS community,
+           CAST(comm.n_nodes AS BIGINT) AS n_nodes,
+           CAST(coalesce(intra.intra_sym, 0) // 2 AS BIGINT) AS intra_edges,
+           CAST(comm.deg_sum AS BIGINT) AS deg_sum,
+           round(coalesce(intra.intra_sym, 0) / (SELECT m2 FROM m2)
+                 - (comm.deg_sum / (SELECT m2 FROM m2))
+                   * (comm.deg_sum / (SELECT m2 FROM m2)), 6) AS modularity_term
+    FROM comm LEFT JOIN intra ON comm.c = intra.c
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 2-round LPA partition
+    (operators/modularity.community_modularity composed with
+    operators/lpa.label_propagation): one row per community with its
+    Q-term — Σ modularity_term is the partition's modularity.  Every
+    float is a pure scalar expression of BIGINTs (two IEEE divisions,
+    one square), so cross-engine agreement is exact; 6-dp rounding is
+    suite convention only."""
+    from .operators.lpa import label_propagation
+    from .operators.modularity import community_modularity
+
+    edges = _order_graph_edges(spark, sf_dir)
+    comms = label_propagation(edges, iterations=2)
+    return community_modularity(edges, comms)
+
+
 @query(
     "ppr_seed_entities",
     f"""
@@ -7219,6 +7350,8 @@ _ROWS_ONLY: dict[str, Query] = {
 # archived row; the r05 window re-verifies the stalest third.
 _PRIORITY = [
     # --- round-5 additions: fresh entries need their first official row ---
+    "kg_ktruss_5truss",
+    "graph_modularity",
     "exact_substr_removal",
     "bpe_train_merges",
     "bpe_encode_tokens",
