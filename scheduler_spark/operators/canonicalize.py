@@ -59,3 +59,41 @@ def pick_representative(
             F.col("n").alias("n_mentions"),
         )
     )
+
+
+def rewrite_triples(
+    triples: DataFrame,
+    entities: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """owl:sameAs materialization: rewrite BOTH ends of every triple to
+    its canonical entity and collapse the duplicates the rewrite
+    creates.  `entities` is the (entity_id, canonical_id) map from
+    canonicalize_values / connected_components; ids absent from the map
+    pass through unchanged (left join + coalesce — an id with no
+    sameAs assertion is its own canonical form).
+
+    ≈ the reference's post-release dedup contract (one deduplicated
+    graph per source, release_graph_generator.py:36-83) lifted from
+    artifact granularity to triple granularity.  Scale shape: two
+    equi-joins of the triple table against the entity map (shuffle on
+    the id), one distinct — no driver state, no fan-out.
+    """
+    cs = entities.select(
+        F.col("entity_id").alias(subj), F.col("canonical_id").alias("_cs")
+    )
+    co = entities.select(
+        F.col("entity_id").alias(obj), F.col("canonical_id").alias("_co")
+    )
+    return (
+        triples.join(cs, subj, "left")
+        .join(co, obj, "left")
+        .select(
+            F.coalesce("_cs", subj).alias(subj),
+            pred,
+            F.coalesce("_co", obj).alias(obj),
+        )
+        .distinct()
+    )

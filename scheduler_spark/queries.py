@@ -5125,6 +5125,264 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_sameas_canonical",
+    """
+    WITH RECURSIVE
+    ks AS (SELECT DISTINCT o_orderkey % 250 AS k
+           FROM orders WHERE o_orderkey < 600),
+    sa AS (SELECT k AS u, k - 1 AS v FROM ks WHERE k >= 1 AND k % 5 <> 0),
+    edges AS (SELECT u, v FROM sa UNION SELECT v AS u, u AS v FROM sa),
+    nodes AS (SELECT u AS n FROM edges UNION SELECT v AS n FROM edges),
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, e.v AS dst FROM reach r JOIN edges e ON r.dst = e.u),
+    cc AS (SELECT src AS entity_id, min(dst) AS canonical_id
+           FROM reach GROUP BY src),
+    t AS (SELECT o_orderkey % 250 AS s,
+                 CASE o_orderkey % 3 WHEN 0 THEN 'cites'
+                                     WHEN 1 THEN 'imports'
+                                     ELSE 'links_to' END AS pred,
+                 (o_orderkey * 7) % 250 AS o
+          FROM orders WHERE o_orderkey < 1000)
+    SELECT DISTINCT CAST(coalesce(cs.canonical_id, t.s) AS BIGINT) AS subj,
+                    pred,
+                    CAST(coalesce(co.canonical_id, t.o) AS BIGINT) AS obj
+    FROM t
+    LEFT JOIN cc cs ON t.s = cs.entity_id
+    LEFT JOIN cc co ON t.o = co.entity_id
+    """,
+)
+def kg_sameas_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs materialization (operators/canonicalize.rewrite_triples
+    over operators/components.connected_components): alias assertions
+    form length-5 id chains; canonicalization = CC min over the chains;
+    every triple gets BOTH ends rewritten (ids without assertions pass
+    through the left-join coalesce) and the duplicates the rewrite
+    creates collapse — the triple-granularity analog of the reference's
+    per-source deduplicated release graph
+    (userCode/assetGroups/release_graph_generator.py:36-83).  The
+    o_orderkey<600/<1000 prefixes are SF-shared, so the result is
+    identical at every SF.  Integer/string-only, no ulp guard."""
+    from .operators.canonicalize import rewrite_triples
+    from .operators.components import connected_components
+
+    o6 = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600)
+    k = F.pmod(F.col("o_orderkey"), F.lit(250))
+    sameas = (
+        o6.select(k.alias("k"))
+        .distinct()
+        .filter((F.col("k") >= 1) & (F.pmod("k", F.lit(5)) != 0))
+        .select(
+            F.col("k").alias("src_entity"),
+            (F.col("k") - 1).alias("dst_entity"),
+        )
+    )
+    # threshold=0 pins the DISTRIBUTED large-star/small-star CC path
+    cc = connected_components(sameas, small_graph_threshold=0)
+    o10 = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    triples = o10.select(
+        F.pmod("o_orderkey", F.lit(250)).cast("long").alias("subj"),
+        F.element_at(
+            F.array(F.lit("cites"), F.lit("imports"), F.lit("links_to")),
+            (F.pmod("o_orderkey", F.lit(3)) + 1).cast("int"),
+        ).alias("pred"),
+        F.pmod(F.col("o_orderkey") * 7, F.lit(250)).cast("long").alias("obj"),
+    )
+    out = rewrite_triples(triples, cc)
+    return out.select(
+        F.col("subj").cast("long"), "pred", F.col("obj").cast("long")
+    )
+
+
+@query(
+    "kg_topo_depth",
+    """
+    WITH RECURSIVE
+    hn AS (SELECT DISTINCT (o_orderkey * o_orderkey + 1) % 149 AS n
+           FROM orders WHERE o_orderkey < 700),
+    e AS (SELECT n AS u, (n - 1) // 3 AS v FROM hn WHERE n >= 1
+          UNION
+          SELECT n AS u, (n - 1) // 4 AS v FROM hn WHERE n >= 1),
+    nodes AS (SELECT u AS n FROM e UNION SELECT v AS n FROM e),
+    walk AS (
+      SELECT n AS start, n AS cur, 0 AS len FROM nodes
+      UNION ALL
+      SELECT w.start, e.v AS cur, w.len + 1 AS len
+      FROM walk w JOIN e ON w.cur = e.u)
+    SELECT start AS node, CAST(max(len) AS BIGINT) AS depth
+    FROM walk GROUP BY start
+    """,
+)
+def kg_topo_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path depth over a DAG ontology
+    (operators/dag.longest_path_depth, Kahn-style reverse-topological
+    rounds): the subsumption-level structure the full closure
+    (`kg_ancestor_closure`) doesn't expose — depth 0 = sinks, depth d =
+    longest chain of d steps below.  The DAG doubles the closure
+    hierarchy's out-edges ((n−1) div 3 AND (n−1) div 4, both strictly
+    decreasing, so acyclicity is by construction) to make longest ≠
+    shortest.  The oracle enumerates all descending walks by recursive
+    CTE and takes the max — safe because branching 2 × depth ≤ 8 bounds
+    the walk count.  Integer-only."""
+    from .operators.dag import longest_path_depth
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 700)
+    n = F.pmod(F.col("o_orderkey") * F.col("o_orderkey") + 1, F.lit(149))
+    hn = o.select(n.alias("n")).distinct().filter(F.col("n") >= 1)
+    edges = (
+        hn.select(
+            F.col("n").alias("src_entity"),
+            F.expr("(n - 1) div 3").cast("long").alias("dst_entity"),
+        )
+        .unionByName(
+            hn.select(
+                F.col("n").alias("src_entity"),
+                F.expr("(n - 1) div 4").cast("long").alias("dst_entity"),
+            )
+        )
+    )
+    return longest_path_depth(edges).select(
+        F.col("node").cast("long"), F.col("depth").cast("long")
+    )
+
+
+@query(
+    "kg_rdfs_type_inference",
+    """
+    WITH RECURSIVE
+    hn AS (SELECT DISTINCT (o_orderkey * o_orderkey + 1) % 149 AS n
+           FROM orders WHERE o_orderkey < 700),
+    e AS (SELECT n AS u, (n - 1) // 3 AS v FROM hn WHERE n >= 1),
+    tc AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT tc.u, e.v FROM tc JOIN e ON tc.v = e.u),
+    up AS (SELECT u, v FROM tc UNION SELECT n AS u, n AS v FROM hn),
+    inst AS (SELECT o_orderkey AS x,
+                    (o_orderkey * o_orderkey + 1) % 149 AS c
+             FROM orders WHERE o_orderkey < 700)
+    SELECT up.v AS class_id,
+           CAST(count(DISTINCT inst.x) AS BIGINT) AS n_instances
+    FROM inst JOIN up ON inst.c = up.u
+    GROUP BY up.v
+    """,
+)
+def kg_rdfs_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS9 type inheritance (type(x,C) ∧ subClassOf*(C,C′) ⊢
+    type(x,C′)) materialized over the closure hierarchy
+    (operators/closure.transitive_closure): per-class instance counts
+    AFTER inference — each instance counts toward its direct class and
+    every ancestor.  The reflexive step is the identity union over the
+    class universe, so leaf-class counts survive.  One closure (depth ≤
+    5 rounds), one broadcast-sized class join against the instance
+    table, one rollup — the standard ontology-expansion shape at any
+    corpus scale.  Integer-only."""
+    from .operators.closure import transitive_closure
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 700)
+    n = F.pmod(F.col("o_orderkey") * F.col("o_orderkey") + 1, F.lit(149))
+    hn = o.select(n.alias("n")).distinct()
+    edges = hn.filter(F.col("n") >= 1).select(
+        F.col("n").alias("src_entity"),
+        F.expr("(n - 1) div 3").cast("long").alias("dst_entity"),
+    )
+    up = (
+        transitive_closure(edges)
+        .select(F.col("src_entity").alias("u"), F.col("dst_entity").alias("v"))
+        .unionByName(hn.select(F.col("n").alias("u"), F.col("n").alias("v")))
+        .distinct()
+    )
+    inst = o.select(F.col("o_orderkey").alias("x"), n.alias("c"))
+    return (
+        inst.join(up, inst["c"] == up["u"])
+        .groupBy(F.col("v").cast("long").alias("class_id"))
+        .agg(F.countDistinct("x").cast("long").alias("n_instances"))
+    )
+
+
+@query(
+    "ccnet_chunk_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (SELECT doc_id, t.j,
+                 array_to_string(
+                   list_slice(ws, t.j * 8 + 1, t.j * 8 + 8), ' ') AS chunk
+          FROM w, range(0, 16) t(j) WHERE t.j * 8 < len(ws)),
+    k AS (SELECT doc_id, j, chunk,
+                 row_number() OVER (PARTITION BY chunk
+                                    ORDER BY doc_id, j) AS rn
+          FROM c),
+    reb AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY j) AS kept_text
+            FROM k WHERE rn = 1 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(ceil(len(string_split(d.text, ' ')) / 8.0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(reb.kept_text, '') AS kept_text
+    FROM documents d LEFT JOIN reb ON d.doc_id = reb.doc_id
+    """,
+)
+def ccnet_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level corpus dedup (Wenzek et al. 2020
+    §3.1 removes duplicated LINES corpus-wide keeping the first copy;
+    this corpus has no newlines, so the unit is the aligned 8-word
+    pseudo-paragraph).  Keep-first = min (doc_id, position) per chunk
+    — duplicates WITHIN a doc collapse too — then each doc is rebuilt
+    from its surviving chunks in order; fully-deduplicated docs survive
+    as empty strings (totality via the documents left join).
+
+    Distinct from `exact_substr_removal`: that removes every copy of a
+    duplicated sliding gram; this keeps the first copy of an aligned
+    unit — the CCNet discipline.  Scale shape: chunking is per-row
+    (transform over a sequence, no word explode), the only corpus
+    shuffle keys on the 8-byte chunk hash via a groupBy min — never
+    doc×doc; the rebuild is one per-doc rollup.  String compare, no ulp
+    guard."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 8.0)"
+                " as int) - 1),"
+                " j -> array_join(slice(split(text, ' '), j * 8 + 1, 8), ' '))"
+            )
+        ).alias("j", "chunk"),
+    )
+    first = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "j")).alias("first")
+    )
+    kept = (
+        chunks.join(first, "chunk")
+        .filter(F.struct("doc_id", "j") == F.col("first"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        d.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.ceil(F.size(F.split("text", " ")) / 8.0)
+            .cast("long")
+            .alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+@query(
     "ppr_seed_entities",
     f"""
     WITH raw AS (
@@ -7352,6 +7610,10 @@ _PRIORITY = [
     # --- round-5 additions: fresh entries need their first official row ---
     "kg_ktruss_5truss",
     "graph_modularity",
+    "kg_sameas_canonical",
+    "kg_topo_depth",
+    "kg_rdfs_type_inference",
+    "ccnet_chunk_dedup",
     "exact_substr_removal",
     "bpe_train_merges",
     "bpe_encode_tokens",
