@@ -5124,6 +5124,75 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_modularity(edges, comms)
 
 
+def _louvain_unrolled_sql(rounds: int) -> str:
+    """DuckDB twin of operators/louvain.louvain_local_moving: round r
+    scores every (node, candidate community) pair with the exact
+    integer-ratio gain the engine computes — identical operation order,
+    so the per-node argmax (score DESC, community ASC) agrees
+    bit-for-bit — and reassigns all nodes at once.  AS MATERIALIZED is
+    load-bearing (same reason as _kcore_unrolled_sql)."""
+    parts = [
+        f"raw AS ({_ORDER_GRAPH_RAW_CTE})",
+        "fwd AS (SELECT u, v FROM raw WHERE u <> v)",
+        "edges AS MATERIALIZED (SELECT u, v FROM fwd "
+        "UNION SELECT v AS u, u AS v FROM fwd)",
+        "deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS ku "
+        "FROM edges GROUP BY u)",
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges)",
+        "l0 AS MATERIALIZED (SELECT u AS n, u AS c FROM deg)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"nbr{r} AS MATERIALIZED (SELECT e.u, l.c AS cand, "
+            f"CAST(count(*) AS BIGINT) AS kuc "
+            f"FROM edges e JOIN l{r-1} l ON e.v = l.n GROUP BY e.u, l.c)"
+        )
+        parts.append(
+            f"sigma{r} AS MATERIALIZED (SELECT l.c AS cand, "
+            f"CAST(sum(d.ku) AS BIGINT) AS sig "
+            f"FROM l{r-1} l JOIN deg d ON l.n = d.u GROUP BY l.c)"
+        )
+        parts.append(
+            f"cand{r} AS MATERIALIZED (SELECT u, cand, max(kuc) AS kuc FROM ("
+            f"SELECT u, cand, kuc FROM nbr{r} "
+            f"UNION ALL SELECT n AS u, c AS cand, CAST(0 AS BIGINT) AS kuc "
+            f"FROM l{r-1}) GROUP BY u, cand)"
+        )
+        parts.append(
+            f"scored{r} AS MATERIALIZED (SELECT c.u, c.cand, "
+            f"(2 * c.kuc) / m.m2 - (2 * d.ku * "
+            f"(s.sig - CASE WHEN c.cand = o.c THEN d.ku ELSE 0 END)) "
+            f"/ (m.m2 * m.m2) AS score "
+            f"FROM cand{r} c JOIN l{r-1} o ON c.u = o.n "
+            f"JOIN deg d ON c.u = d.u JOIN sigma{r} s ON c.cand = s.cand, m)"
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT u AS n, cand AS c FROM ("
+            f"SELECT u, cand, row_number() OVER (PARTITION BY u "
+            f"ORDER BY score DESC, cand) AS rn FROM scored{r}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT n AS entity_id, c AS community FROM l{rounds}"
+    )
+
+
+@query("louvain_communities", _louvain_unrolled_sql(2))
+def louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain phase-1 local moving, 2 synchronous rounds from
+    singletons (operators/louvain.louvain_local_moving, Blondel 2008
+    §2): each node moves to the neighbor community with the maximal
+    modularity gain — the objective-driven counterpart of the
+    majority-vote LPA (`lpa_communities`), scored by `graph_modularity`.
+    Staying is always a candidate (own-community Σ excludes the node's
+    own degree), ties break toward the smaller community id.  Every
+    score is a pure scalar IEEE expression of BIGINTs, so the
+    cross-engine argmax is exact — no ulp guard needed."""
+    from .operators.louvain import louvain_local_moving
+
+    return louvain_local_moving(_order_graph_edges(spark, sf_dir), rounds=2)
+
+
 @query(
     "kg_sameas_canonical",
     """
@@ -5379,6 +5448,39 @@ def ccnet_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
+    )
+
+
+@query(
+    "embedding_covariance",
+    """
+    WITH e AS (SELECT embedding AS v FROM embeddings),
+    p AS (SELECT i.i AS i, j.j AS j,
+                 sum(CAST(v[i.i + 1] AS DOUBLE)
+                     * CAST(v[j.j + 1] AS DOUBLE)) AS sxy,
+                 count(*) AS n
+          FROM e, range(0, 64) i(i), range(0, 64) j(j)
+          WHERE j.j >= i.i GROUP BY i.i, j.j),
+    m AS (SELECT i.i AS i, sum(CAST(v[i.i + 1] AS DOUBLE)) AS sx
+          FROM e, range(0, 64) i(i) GROUP BY i.i)
+    SELECT CAST(p.i AS BIGINT) AS dim_i, CAST(p.j AS BIGINT) AS dim_j,
+           round(p.sxy / p.n - (mi.sx / p.n) * (mj.sx / p.n), 6) AS cov
+    FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle covariance of the embedding corpus
+    (operators/pca.covariance_matrix) — the distributed 99% of PCA
+    (the d×d eigendecomposition is a driver-side triviality,
+    operators/pca.pca_project).  The d²/2-per-row fan-out map-side
+    combines before the exchange, so the shuffle is d² × tasks
+    regardless of corpus size — the wordcount shape.  Rounded to 6 dp
+    both sides (partial-agg summation order)."""
+    from .operators.pca import covariance_matrix
+
+    em = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    return covariance_matrix(em).select(
+        "dim_i", "dim_j", F.round("cov", 6).alias("cov")
     )
 
 
@@ -7614,6 +7716,8 @@ _PRIORITY = [
     "kg_topo_depth",
     "kg_rdfs_type_inference",
     "ccnet_chunk_dedup",
+    "louvain_communities",
+    "embedding_covariance",
     "exact_substr_removal",
     "bpe_train_merges",
     "bpe_encode_tokens",
