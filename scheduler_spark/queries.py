@@ -5485,6 +5485,138 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kg_scc_components",
+    """
+    WITH RECURSIVE
+    k AS (SELECT DISTINCT o_orderkey % 120 AS n
+          FROM orders WHERE o_orderkey < 800),
+    e AS (
+      SELECT n AS u, (n // 8) * 8 + ((n % 8) + 1) % 8 AS v FROM k
+      UNION SELECT n AS u, n + 8 AS v FROM k WHERE n + 8 < 120
+      UNION SELECT n AS u, 120 + (n % 7) AS v FROM k),
+    ed AS (SELECT u, v FROM e WHERE u <> v),
+    -- DuckDB quirk: UNION inside a WITH RECURSIVE block skips the
+    -- cross-branch dedup (recursive-union parse), so the node universe
+    -- needs an explicit DISTINCT wrapper
+    nodes AS (SELECT DISTINCT n FROM
+              (SELECT u AS n FROM ed UNION ALL SELECT v AS n FROM ed)),
+    reach AS (
+      SELECT u, v FROM ed
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN ed e2 ON r.v = e2.u),
+    mutual AS (
+      SELECT a.u, min(a.v) AS mn
+      FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
+      WHERE a.u <> a.v GROUP BY a.u)
+    SELECT CAST(nodes.n AS BIGINT) AS entity_id,
+           CAST(least(nodes.n, coalesce(m.mn, nodes.n)) AS BIGINT) AS scc_id
+    FROM nodes LEFT JOIN mutual m ON nodes.n = m.u
+    """,
+)
+def kg_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components
+    (operators/scc.strongly_connected_components — semi-naive closure ⨝
+    reversed closure, min-id canonical): directed cycles are what
+    undirected CC can't see — a subclass loop or mutual-import knot
+    collapses to one canonical entity while weak connectivity would
+    merge the whole chain.  The synthetic digraph (15 directed 8-cycles
+    chained by forward bridges + 7 sink singletons, 127 nodes, closure
+    8 520 pairs, 21 semi-naive rounds) derives from the SF-shared
+    o_orderkey<800 prefix, so the result is identical at every SF.
+    Integer-only."""
+    from .operators.scc import strongly_connected_components
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 800)
+    k = o.select(F.pmod("o_orderkey", F.lit(120)).alias("n")).distinct()
+    cyc = k.select(
+        F.col("n").alias("src_entity"),
+        (
+            F.expr("(n div 8) * 8") + F.pmod(F.pmod("n", F.lit(8)) + 1, F.lit(8))
+        ).alias("dst_entity"),
+    )
+    bridge = k.filter(F.col("n") + 8 < 120).select(
+        F.col("n").alias("src_entity"), (F.col("n") + 8).alias("dst_entity")
+    )
+    sink = k.select(
+        F.col("n").alias("src_entity"),
+        (F.lit(120) + F.pmod("n", F.lit(7))).alias("dst_entity"),
+    )
+    edges = cyc.unionByName(bridge).unionByName(sink).distinct()
+    return strongly_connected_components(edges).select(
+        F.col("entity_id").cast("long"), F.col("scc_id").cast("long")
+    )
+
+
+@query(
+    "corpus_kl_divergence",
+    """
+    WITH tok AS (
+      SELECT d.source, u.w
+      FROM documents d, unnest(string_split(d.text, ' ')) u(w)),
+    c AS (SELECT w,
+                 CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                 CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cq
+          FROM tok GROUP BY w),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(cp) AS BIGINT) AS np,
+                   CAST(sum(cq) AS BIGINT) AS nq FROM c)
+    SELECT tot.v AS vocab_size, tot.np AS n_p, tot.nq AS n_q,
+           round(sum(((c.cp + 1) / CAST(tot.np + tot.v AS DOUBLE))
+                 * ln(((c.cp + 1) / CAST(tot.np + tot.v AS DOUBLE))
+                      / ((c.cq + 1) / CAST(tot.nq + tot.v AS DOUBLE)))), 6)
+             AS kl_pq,
+           round(sum(((c.cq + 1) / CAST(tot.nq + tot.v AS DOUBLE))
+                 * ln(((c.cq + 1) / CAST(tot.nq + tot.v AS DOUBLE))
+                      / ((c.cp + 1) / CAST(tot.np + tot.v AS DOUBLE)))), 6)
+             AS kl_qp
+    FROM c, tot
+    GROUP BY tot.v, tot.np, tot.nq
+    """,
+)
+def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift screen: KL divergence between the src0 subcorpus'
+    unigram distribution (P) and the rest of the corpus (Q), add-1
+    smoothed over the union vocabulary — the standard drift check
+    before mixing a new source into a training corpus (the DSIR
+    importance-weight denominator, `dsir_importance_weights`, is this
+    same ratio per-bucket; here it is aggregated to the corpus-level
+    scalar, both directions).  One conditional-agg shuffle on the word
+    (both distributions in a single pass — the queries.py:3641 DSIR
+    discipline), then a vocab-bounded rollup.  Each term is a pure
+    scalar expression of BIGINTs; only the Σ is order-sensitive, so
+    6 dp rounding guards summation-order ulp noise."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    c = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("cq"),
+    )
+    tot = c.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    p = (F.col("cp") + 1) / (F.col("np") + F.col("v")).cast("double")
+    q = (F.col("cq") + 1) / (F.col("nq") + F.col("v")).cast("double")
+    return j.groupBy("v", "np", "nq").agg(
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_pq"),
+        F.round(F.sum(q * F.log(q / p)), 6).alias("kl_qp"),
+    ).select(
+        F.col("v").alias("vocab_size"),
+        F.col("np").alias("n_p"),
+        F.col("nq").alias("n_q"),
+        "kl_pq",
+        "kl_qp",
+    )
+
+
+@query(
     "ppr_seed_entities",
     f"""
     WITH raw AS (
@@ -7718,6 +7850,8 @@ _PRIORITY = [
     "ccnet_chunk_dedup",
     "louvain_communities",
     "embedding_covariance",
+    "kg_scc_components",
+    "corpus_kl_divergence",
     "exact_substr_removal",
     "bpe_train_merges",
     "bpe_encode_tokens",
