@@ -90,3 +90,87 @@ def transitive_closure(
     return closure.select(
         F.col("u").alias(src), F.col("v").alias(dst)
     )
+
+
+def incremental_closure(
+    closure: DataFrame,
+    edges: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src_entity",
+    dst: str = "dst_entity",
+    max_rounds: int = MAX_ROUNDS,
+) -> DataFrame:
+    """TC(E) + a batch of new edges Δ → TC(E ∪ Δ) without recomputing
+    from scratch — the closure analog of the engine's bytesum-skip
+    incremental pulls (plans/checkpoint.py): only paths that USE a Δ
+    edge can be new, and every such path decomposes as
+    (old-closure prefix | empty) · first-Δ-edge · (arbitrary suffix),
+    so the semi-naive loop runs with the accumulator SEEDED at the old
+    closure and the frontier seeded at (C ∪ I) ∘ Δ — work tracks the
+    delta's reach, not the graph.  A Δ touching nothing reachable costs
+    one join round.
+
+    Same contracts as transitive_closure: self-loops dropped, cycles
+    safe, RuntimeError on max_rounds exhaustion, and the Spark 4.1
+    constraint-propagation guard for the checkpointed-union loop shape.
+    """
+    spark = edges.sparkSession
+    prev = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        c0 = (
+            closure.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        delta = (
+            new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        base = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .unionByName(delta)
+            .distinct()
+            .localCheckpoint()
+        )
+        seed = (
+            c0.alias("c")
+            .join(delta.alias("d"), F.col("c.v") == F.col("d.u"))
+            .select(F.col("c.u").alias("u"), F.col("d.v").alias("v"))
+            .unionByName(delta)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .join(c0, ["u", "v"], "left_anti")
+            .localCheckpoint()
+        )
+        acc = c0.unionByName(seed).localCheckpoint()
+        frontier = seed
+        done = frontier.count() == 0
+        for _ in range(max_rounds):
+            if done:
+                break
+            new = (
+                frontier.alias("f")
+                .join(base.alias("b"), F.col("f.v") == F.col("b.u"))
+                .select(F.col("f.u").alias("u"), F.col("b.v").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .join(acc, ["u", "v"], "left_anti")
+                .localCheckpoint()
+            )
+            if new.count() == 0:
+                done = True
+                break
+            acc = acc.unionByName(new).localCheckpoint()
+            frontier = new
+        if not done:
+            raise RuntimeError(
+                f"incremental_closure did not reach a fixpoint within "
+                f"{max_rounds} rounds; raise max_rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev)
+    return acc.select(F.col("u").alias(src), F.col("v").alias(dst))

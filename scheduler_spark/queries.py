@@ -5051,6 +5051,69 @@ def _ktruss_unrolled_sql(k: int, rounds: int) -> str:
     )
 
 
+def _node2vec_unrolled_sql(length: int, wp: int, w1: int, wq: int) -> str:
+    """DuckDB twin of operators/walks.node2vec_walks on the dense truss
+    graph: step 1 uniform (the deterministic_walks rule), steps ≥ 2
+    pick by the hash roll over integer cumulative neighbor weights —
+    identical integer arithmetic, so both engines replay the same
+    walks.  No recursion → the WITH-RECURSIVE UNION quirk is moot."""
+    parts = [
+        f"raw AS ({_TRUSS_RAW_SQL})",
+        "fwd AS (SELECT DISTINCT u, v FROM raw WHERE u <> v)",
+        "ranked AS (SELECT u, v,"
+        " row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS idx,"
+        " count(*) OVER (PARTITION BY u) AS deg FROM fwd)",
+        "l0 AS (SELECT DISTINCT u AS start FROM fwd)",
+        "s1 AS (SELECT l.start, r.u AS prev, r.v AS cur"
+        " FROM l0 l JOIN ranked r ON l.start = r.u"
+        " WHERE r.idx = (l.start * 31 + r.u * 7 + 1) % r.deg)",
+    ]
+    for s in range(2, length + 1):
+        parts.append(
+            f"c{s} AS (SELECT w.start, w.prev, w.cur, r.v AS nbr, r.idx, "
+            f"CASE WHEN r.v = w.prev THEN {wp} "
+            f"WHEN ex.u IS NOT NULL THEN {w1} ELSE {wq} END AS wt "
+            f"FROM s{s-1} w JOIN ranked r ON w.cur = r.u "
+            f"LEFT JOIN fwd ex ON ex.u = w.prev AND ex.v = r.v)"
+        )
+        parts.append(
+            f"p{s} AS (SELECT start, prev, cur, nbr, wt, "
+            f"sum(wt) OVER (PARTITION BY start ORDER BY idx) AS cum, "
+            f"sum(wt) OVER (PARTITION BY start) AS tot FROM c{s})"
+        )
+        parts.append(
+            f"s{s} AS (SELECT start, cur AS prev, nbr AS cur FROM p{s} "
+            f"WHERE (start * 31 + cur * 7 + prev * 13 + {s}) % tot >= cum - wt "
+            f"AND (start * 31 + cur * 7 + prev * 13 + {s}) % tot < cum)"
+        )
+    steps = [
+        "SELECT start AS start_node, CAST(0 AS BIGINT) AS step,"
+        " start AS node FROM l0"
+    ] + [
+        f"SELECT start, CAST({s} AS BIGINT), cur FROM s{s}"
+        for s in range(1, length + 1)
+    ]
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(steps)
+
+
+@query("node2vec_biased_walks", _node2vec_unrolled_sql(3, 1, 4, 2))
+def node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec 2nd-order biased walk corpus over the dense entity
+    graph (operators/walks.node2vec_walks, Grover & Leskovec 2016
+    §3.2): return/common/explore neighbor weights (1, 4, 2) ≈
+    (p=4, q=2) scaled to integers, hash-rolled over the cumulative
+    weights of the id-sorted neighbor list so both engines replay the
+    identical walks with no RNG — the BFS/DFS-interpolating upgrade of
+    the uniform `kg_random_walks` corpus, on a graph dense enough that
+    the distance-1 (triangle) weight class actually fires.
+    Integer-only, no ulp guard."""
+    from .operators.walks import node2vec_walks
+
+    return node2vec_walks(
+        _truss_graph_edges(spark, sf_dir), length=3, wp=1, w1=4, wq=2
+    ).select(F.col("start_node").cast("long"), "step", F.col("node").cast("long"))
+
+
 @query("kg_ktruss_5truss", _ktruss_unrolled_sql(5, 9))
 def kg_ktruss_5truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-truss of the dense entity graph (operators/truss.ktruss): the
@@ -7852,6 +7915,7 @@ _PRIORITY = [
     "embedding_covariance",
     "kg_scc_components",
     "corpus_kl_divergence",
+    "node2vec_biased_walks",
     "exact_substr_removal",
     "bpe_train_merges",
     "bpe_encode_tokens",
