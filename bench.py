@@ -140,6 +140,16 @@ HEADLINE = [
     "bm25_topk",
     "embedding_int8_quant",
     "ccnet_perplexity_buckets",
+    # round-5 adds (third batch): CCNet keep-first chunk dedup (one
+    # chunk-key shuffle), the corpus KL domain-shift screen (one
+    # conditional-agg word shuffle), and the exact covariance pass
+    # (d²-bounded shuffle after map-side combine) — all
+    # corpus-proportional.  The new graph gates (k-truss, Louvain,
+    # SCC, node2vec, topo depth, sameAs, RDFS9) run on constant-size
+    # synthetic graphs and stay out, like the earlier graph gates.
+    "ccnet_chunk_dedup",
+    "corpus_kl_divergence",
+    "embedding_covariance",
 ]
 
 KG_BENCH_FILES = int(os.environ.get("SPARK_GRAFT_KG_FILES", "20000"))
