@@ -706,6 +706,130 @@ def prefix_jaccard_pairs(
     return _verify_exact_jaccard(cand, base, base, "doc_a", "doc_b", threshold)
 
 
+def prefix_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """EXACT containment join: pairs with |A∩B| / min(|A|,|B|) ≥ t
+    (Broder 1997's containment, vs the resemblance the Jaccard ops
+    score) — catches a short doc embedded in a long one, which
+    Jaccard structurally misses (J ≤ |A|/|B| however perfect the
+    inclusion).  The reference analog is nabu's artifact-granularity
+    content-hash dedup (/root/reference/docs/hdt.md:12-16) which only
+    sees IDENTICAL payloads; this is the similarity-join rung above it.
+
+    Containment admits NO size-ratio prune (a 10-shingle doc can sit
+    inside a 10k-shingle one), so PPJoin's length filter — the
+    workhorse of prefix_jaccard_pairs above — is unsound here.  The
+    probe/index asymmetry replaces it:
+
+    prefix lemma (asymmetric form of Chaudhuri et al. ICDE'06): order
+    every shingle set by ONE global order (ascending df, token
+    tie-break).  If c(A,B) ≥ t with |A| ≤ |B|, A shares ≥ ⌈t·|A|⌉
+    tokens with B, so among ANY |A| − ⌈t·|A|⌉ + 1 tokens of A at
+    least one is in B.  Candidates therefore come from A's probe
+    prefix (its ⌊(1−t)·|A|⌋+1 RAREST tokens) equi-joined against the
+    FULL posting list of the larger side — probe keys are rare by
+    selection, so hub-shingle postings are built but almost never
+    probed, and the join stays linear-ish in Σ(probe-token df).
+
+    positional filter (sound with per-side min positions even when
+    they come from different shared tokens): shared tokens all sit at
+    ordered positions ≥ the minimal observed ones, so
+    |A∩B| ≤ 1 + min(|A|−ia, |B|−jb), which must reach ⌈t·|A|⌉.
+
+    The threshold rides as the integer fraction num/den so the
+    boundary test (den·inter ≥ num·min) is float-free in BOTH engines
+    — 0.9·least(na,nb) in IEEE doubles would flip exact-boundary
+    pairs differently per engine.
+
+    Scale shape: one token-df aggregation, one join-back + per-doc
+    window to rank, one probe×postings equi-join carrying only
+    (id, 8-byte token, position, set size), pair rollup, then the
+    array-carrying verify join runs on survivors only.  All equi-joins
+    and windows on AQE-partitionable keys; no driver state.
+    """
+    t_num, t_den = threshold_num, threshold_den
+    base = (
+        _minhash_base(df, id_col, text_col, block_col, n)
+        .withColumn("n", F.size("s"))
+        .localCheckpoint()
+    )
+    toks = base.select("doc_id", "block", "n", F.explode("s").alias("tok"))
+    dftab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    w = Window.partitionBy("doc_id").orderBy("tdf", "tok")
+    ranked = (
+        toks.join(dftab, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "block", "tok", "pos", "n")
+    )
+    # ⌈t·n⌉ as pure BIGINT arithmetic: (num·n + den − 1) div den
+    alpha_of = lambda col: F.floor(
+        (F.lit(t_num) * col + F.lit(t_den - 1)) / F.lit(t_den)
+    )
+    probe = ranked.filter(
+        F.col("pos") <= F.col("n") - alpha_of(F.col("n")) + 1
+    ).select(
+        F.col("doc_id").alias("doc_a"), "block", "tok",
+        F.col("pos").alias("ia"), F.col("n").alias("na"),
+    )
+    index = ranked.select(
+        F.col("doc_id").alias("doc_b"), "block", "tok",
+        F.col("pos").alias("jb"), F.col("n").alias("nb"),
+    )
+    cand = (
+        probe.join(index, ["block", "tok"])
+        # the probe is the smaller side; equal sizes probe both ways
+        # and collapse in the canonical-order distinct below
+        .filter(
+            (F.col("na") < F.col("nb"))
+            | ((F.col("na") == F.col("nb")) & (F.col("doc_a") != F.col("doc_b")))
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("ia").alias("ia"), F.min("jb").alias("jb"),
+            F.min("na").alias("na"), F.min("nb").alias("nb"),
+        )
+        .filter(
+            F.lit(1) + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
+            >= alpha_of(F.least("na", "nb"))
+        )
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = base.select("doc_id", "s", "n")
+    joined = cand.join(
+        sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.col("n").alias("na")
+        ),
+        "doc_a",
+    ).join(
+        sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    # single-reference filter (the ngram_jaccard CollapseProject
+    # discipline); cont/jac recomputed only for the survivors
+    return (
+        joined.filter(F.lit(t_den) * inter >= F.lit(t_num) * F.least("na", "nb"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(inter / F.least("na", "nb"), 6).alias("cont"),
+            F.round(inter / (F.col("na") + F.col("nb") - inter), 6).alias("jac"),
+        )
+    )
+
+
 def exact_substr_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

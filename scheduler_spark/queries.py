@@ -2833,6 +2833,42 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment_pairs",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(0, greatest(len(text)-2, 1)),
+                                          i -> substr(text, i+1, 3))) AS s
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / least(len(a.s), len(b.s)), 6) AS cont,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE 10 * len(list_intersect(a.s, b.s)) >= 9 * least(len(a.s), len(b.s))
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment pairs, c = |A∩B|/min(|A|,|B|) ≥ 0.9
+    (operators/dedup.prefix_containment_pairs, Broder 1997) — the
+    asymmetric near-dup class Jaccard misses: a short doc embedded in
+    a long one has J ≤ |A|/|B| no matter how perfect the inclusion.
+    The oracle IS the quadratic blocked contract; the engine path is
+    the probe-prefix/full-postings equi-join (provably complete, no
+    recall threshold), with the 10·inter ≥ 9·min boundary kept as
+    BIGINT arithmetic in both engines so threshold-exact pairs cannot
+    flip on float noise."""
+    from .operators.dedup import prefix_containment_pairs
+
+    return prefix_containment_pairs(
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        id_col="doc_id", text_col="text", block_col="source",
+        threshold_num=9, threshold_den=10,
+    )
+
+
 def _cosine(e_a, e_b):
     dot = F.aggregate(
         F.zip_with(e_a, e_b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -7905,6 +7941,7 @@ _ROWS_ONLY: dict[str, Query] = {
 # archived row; the r05 window re-verifies the stalest third.
 _PRIORITY = [
     # --- round-5 additions: fresh entries need their first official row ---
+    "dedup_containment_pairs",
     "kg_ktruss_5truss",
     "graph_modularity",
     "kg_sameas_canonical",

@@ -400,3 +400,92 @@ def test_prefix_jaccard_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_finds_embedded_doc_jaccard_misses(spark):
+    """A short doc inside a much longer one: containment ≈ 1 while
+    J ≈ |A|/|B| is far below any resemblance threshold — the operator's
+    reason to exist."""
+    from scheduler_spark.operators.dedup import prefix_containment_pairs
+
+    small = "the quick brown fox jumps over the lazy dog"
+    big = small + " " + "while seventeen unrelated astronauts measured" \
+        " granite boulders beneath the equatorial monsoon" * 3
+    rows = [
+        (1, small, "a"),
+        (2, big, "a"),
+        (3, "completely disjoint payload qqq www zzz", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (p.doc_a, p.doc_b): (p.cont, p.jac)
+        for p in prefix_containment_pairs(df, block_col="source").collect()
+    }
+    assert set(got) == {(1, 2)}
+    cont, jac = got[(1, 2)]
+    assert cont == 1.0          # every shingle of the small doc is in the big one
+    assert jac < 0.5            # and resemblance would never have flagged it
+
+
+def test_containment_respects_blocks_and_threshold(spark):
+    from scheduler_spark.operators.dedup import prefix_containment_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, base, "a"),
+        (2, base + " kilo", "b"),            # contained, but different block
+        (3, "alpha bravo zz yy xx ww vv uu tt ss", "a"),  # shares a bit, below t
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert prefix_containment_pairs(df, block_col="source").count() == 0
+
+
+def test_containment_matches_quadratic_truth(spark):
+    """Candidate generation is provably complete — pin it against the
+    blocked all-pairs contract on the sf0.001 corpus, boundary pairs
+    included (the 10·inter ≥ 9·min integer test, no float ulp play)."""
+    from scheduler_spark.operators.dedup import (
+        _minhash_base,
+        prefix_containment_pairs,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sets = (
+        _minhash_base(df, "doc_id", "text", "source", 3)
+        .withColumn("n", F.size("s"))
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("block").alias("ba"),
+        F.col("s").alias("sa"), F.col("n").alias("na"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("block").alias("bb"),
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, (F.col("ba") == F.col("bb")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(F.lit(10) * inter >= F.lit(9) * F.least("na", "nb"))
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_containment_pairs(df, block_col="source").collect()
+    }
+    assert got == truth and len(truth) > 0
+
+
+def test_containment_plan_is_equi_join(spark):
+    """Probe×postings must plan as a shuffled equi-join — a cartesian
+    here would mean the asymmetric prefix filter silently regressed to
+    the quadratic contract."""
+    from scheduler_spark.operators.dedup import prefix_containment_pairs
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = prefix_containment_pairs(
+        df, block_col="source"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
