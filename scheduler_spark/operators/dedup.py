@@ -216,12 +216,24 @@ def hashed_shingles(text_col, n: int = 3):
 def _minhash_base(
     df: DataFrame, id_col: str, text_col: str, block_col: str | None, n: int
 ) -> DataFrame:
-    """(doc_id, block, s): hashed shingle sets keyed for banding."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("block"),
-        hashed_shingles(F.col(text_col), n).alias("s"),
-    ).filter(F.size("s") > 0)
+    """(doc_id, block, s): hashed shingle sets keyed for banding.
+
+    MATERIALIZED (localCheckpoint): every consumer reads `s` at least
+    twice (banding + verify), and a Generate whose generator inlines
+    the nested interpreted shingle expression re-evaluates it
+    pathologically (measured 18.6 s vs 0.17 s for the same explode at
+    sf1.0) — this is the shingle-set table a 100 TB pipeline would
+    persist as its index anyway (the winnow localCheckpoint
+    precedent)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(block_col) if block_col else F.lit("all")).alias("block"),
+            hashed_shingles(F.col(text_col), n).alias("s"),
+        )
+        .filter(F.size("s") > 0)
+        .localCheckpoint()
+    )
 
 
 def _minhash_banded(
@@ -234,20 +246,29 @@ def _minhash_banded(
     property the incremental index relies on."""
     rows_per_band = num_hashes // bands
 
-    def hasher(seed: int):
-        return lambda x: F.xxhash64(x, F.lit(seed))
-
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("s"), hasher(i))) for i in range(num_hashes)]
+    # ONE explode + grouped min-aggregates replace num_hashes
+    # interpreted array_min(transform(...)) passes over every shingle
+    # array (guide §4.1): the xxhash64 columns and the partial map-side
+    # mins whole-stage-codegen, and the signature shuffle carries only
+    # num_hashes longs per (doc, block).  Values are identical — min
+    # over the exploded multiset = array_min over the array, and the
+    # per-band bucket hash consumes the same signature slices with the
+    # same literal seeds — so indexes stay bucket-compatible.
+    ex = base.select("doc_id", "block", F.explode("s").alias("sh"))
+    sigs = ex.groupBy("doc_id", "block").agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
-    banded = base.withColumn("sig", sig).select(
+    banded = sigs.select(
         "doc_id",
         "block",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
+                        *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)],
                         F.lit(b),
                     )
                     for b in range(bands)
@@ -318,8 +339,85 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    verified = _bitmap_verify(pairs, base, "doc_a", "doc_b", threshold)
+    if verified is not None:
+        return verified
     sets = base.select("doc_id", "s", F.size("s").alias("n"))
     return _verify_exact_jaccard(pairs, sets, sets, "doc_a", "doc_b", threshold)
+
+
+def _bitmap_verify(
+    cand: DataFrame,
+    base: DataFrame,
+    left_id: str,
+    right_id: str,
+    threshold: float,
+    max_vocab: int = 16384,
+) -> DataFrame | None:
+    """Exact-Jaccard verify over packed-bitmap shingle sets, or None
+    when the distinct-shingle vocabulary exceeds `max_vocab` (caller
+    falls back to the array-intersect path).
+
+    When the corpus's global shingle vocabulary V is small, each doc's
+    shingle SET is re-encoded as ceil(V/64) BIGINT words; |A∩B| is then
+    a handful of whole-stage-codegen'd bit_count(a&b) terms instead of
+    a per-pair hash-set build over the arrays, and the per-doc rows
+    shrink from ~KB arrays to ~tens of bytes — small enough to
+    BROADCAST to both sides of the candidate join, so no shuffle ever
+    carries a shingle array (guide §2.3 "shuffle keys and metadata
+    instead of payloads", §3.1).  The vocab collect is driver-bounded
+    (≤ max_vocab longs).  inter, |A|, |B| are the exact integers of the
+    array path, and the threshold algebra + 6-dp jac reuse the
+    identical expressions, so the verified pairs are bit-identical."""
+    spark = base.sparkSession
+    vocab = sorted(
+        r["h"] for r in base.select(F.explode("s").alias("h")).distinct().collect()
+    )
+    if not 0 < len(vocab) <= max_vocab:
+        return None
+    n_words = (len(vocab) + 63) // 64
+    vdf = spark.createDataFrame(
+        [(h, i) for i, h in enumerate(vocab)], "h long, idx int"
+    )
+    ex = base.select("doc_id", F.size("s").alias("n"), F.explode("s").alias("h"))
+    bits = ex.join(F.broadcast(vdf), "h").select(
+        "doc_id",
+        "n",
+        (F.col("idx") / 64).cast("int").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(idx, 64) AS INT))").alias("bit"),
+    )
+    bm = bits.groupBy("doc_id", "n").agg(
+        *[
+            F.bit_or(
+                F.when(F.col("word") == w, F.col("bit")).otherwise(F.lit(0).cast("long"))
+            ).alias(f"m{w}")
+            for w in range(n_words)
+        ]
+    )
+    left = bm.select(
+        F.col("doc_id").alias(left_id), F.col("n").alias("na"),
+        *[F.col(f"m{w}").alias(f"am{w}") for w in range(n_words)],
+    )
+    right = bm.select(
+        F.col("doc_id").alias(right_id), F.col("n").alias("nb"),
+        *[F.col(f"m{w}").alias(f"bm{w}") for w in range(n_words)],
+    )
+    inter = F.bit_count(F.col("am0").bitwiseAND(F.col("bm0")))
+    for w in range(1, n_words):
+        inter = inter + F.bit_count(F.col(f"am{w}").bitwiseAND(F.col(f"bm{w}")))
+    return (
+        cand.join(F.broadcast(left), left_id)
+        .join(F.broadcast(right), right_id)
+        .filter(
+            (F.col("na") >= threshold * F.col("nb"))
+            & (F.col("nb") >= threshold * F.col("na"))
+        )
+        .filter(inter * F.lit(1.0 + threshold) >= F.lit(threshold) * (F.col("na") + F.col("nb")))
+        .select(
+            left_id, right_id,
+            F.round(inter / (F.col("na") + F.col("nb") - inter), 6).alias("jac"),
+        )
+    )
 
 
 def _verify_exact_jaccard(

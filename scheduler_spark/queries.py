@@ -2774,22 +2774,78 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(_doc_shingles_spark(F.col("text")), lambda s: F.xxhash64(s))
         ).alias("s"),
     ).withColumn("n", F.size("s"))
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), "source",
-        F.col("s").alias("sa"), F.col("n").alias("na"),
+    # --- r06: bitmap intersect (guide §1.2 "fix the algorithm") -------
+    # The corpus's GLOBAL distinct-shingle vocabulary is tiny (377
+    # hashes at every sf — short same-vocab synthetic docs), so each
+    # doc's shingle SET is re-encoded as ceil(V/64) packed BIGINT words
+    # and |A∩B| becomes a handful of bit_count(a&b) terms evaluated in
+    # whole-stage codegen — replacing a per-pair array_intersect hash
+    # set build over ~143-element arrays in the O(block²) loop
+    # (measured at sf1.0: 48.4 s → see *_after.txt plan).  The vocab is
+    # collected once (bounded: falls back to the array path past 16384
+    # hashes), indexed in python, and joined back broadcast; set sizes
+    # |A|, |B| still come from the ORIGINAL arrays, and inter is the
+    # exact same integer, so the filter algebra and the 6-dp jac are
+    # bit-identical (oracle-verified at sf0.01/sf0.1).
+    # Materialize the shingled table before anything explodes it: a
+    # Generate whose generator inlines this nested interpreted
+    # expression re-evaluates it pathologically (measured 18.6 s vs
+    # 0.17 s for the same explode over materialized arrays at sf1.0) —
+    # the winnow_copy_pairs localCheckpoint precedent.
+    d = d.localCheckpoint()
+    vocab = sorted(
+        r["h"]
+        for r in d.select(F.explode("s").alias("h")).distinct().collect()
     )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"), "source",
-        F.col("s").alias("sb"), F.col("n").alias("nb"),
-    )
-    inter = F.size(F.array_intersect("sa", "sb"))
+    if 0 < len(vocab) <= 16384:
+        n_words = (len(vocab) + 63) // 64
+        vdf = spark.createDataFrame(
+            [(h, i) for i, h in enumerate(vocab)], "h long, idx int"
+        )
+        ex = d.select("doc_id", "source", "n", F.explode("s").alias("h"))
+        bits = ex.join(F.broadcast(vdf), "h").select(
+            "doc_id", "source", "n",
+            (F.col("idx") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(idx, 64) AS INT))").alias("bit"),
+        )
+        bm = bits.groupBy("doc_id", "source", "n").agg(
+            *[
+                F.bit_or(
+                    F.when(F.col("word") == w, F.col("bit")).otherwise(F.lit(0).cast("long"))
+                ).alias(f"m{w}")
+                for w in range(n_words)
+            ]
+        )
+        a = bm.select(
+            F.col("doc_id").alias("doc_a"), "source", F.col("n").alias("na"),
+            *[F.col(f"m{w}").alias(f"am{w}") for w in range(n_words)],
+        )
+        b = bm.select(
+            F.col("doc_id").alias("doc_b"), "source", F.col("n").alias("nb"),
+            *[F.col(f"m{w}").alias(f"bm{w}") for w in range(n_words)],
+        )
+        inter = F.bit_count(F.col("am0").bitwiseAND(F.col("bm0")))
+        for w in range(1, n_words):
+            inter = inter + F.bit_count(F.col(f"am{w}").bitwiseAND(F.col(f"bm{w}")))
+        joined = a.join(F.broadcast(b), "source")
+    else:  # vocab-agnostic fallback: the pre-r06 array-intersect path
+        a = d.select(
+            F.col("doc_id").alias("doc_a"), "source",
+            F.col("s").alias("sa"), F.col("n").alias("na"),
+        )
+        b = d.select(
+            F.col("doc_id").alias("doc_b"), "source",
+            F.col("s").alias("sb"), F.col("n").alias("nb"),
+        )
+        inter = F.size(F.array_intersect("sa", "sb"))
+        joined = a.join(b, "source")
     # Catalyst's CollapseProject inlines a withColumn'd `inter` into
-    # every reference — `i/(na+nb-i)` would evaluate array_intersect
+    # every reference — `i/(na+nb-i)` would evaluate the intersect
     # TWICE per pair.  The filter form 1.7·i ≥ 0.7·(na+nb) references i
     # once (algebraically identical for na+nb-i > 0); the exact jac is
     # then recomputed only for the handful of survivors.
     return (
-        a.join(b, "source")
+        joined
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(
             (F.col("na") >= 0.7 * F.col("nb")) & (F.col("nb") >= 0.7 * F.col("na"))
@@ -2890,8 +2946,31 @@ def _cosine(e_a, e_b):
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # norms hoisted out of the O(n²) pair loop: cosine per pair is one
-    # zip_with/aggregate (dot) instead of three
+    # Rewritten for the O(n²) pair loop (guide §4.1; measured at sf1.0:
+    # 52.0 s → 8.9 s, plans/r06/dedup_embedding_cosine_after.txt): each
+    # vector is flattened to `dim` primitive DOUBLE columns (dim probed
+    # once from one row, bounded head(1)), and the per-pair dot becomes
+    # an unrolled chain of multiply-adds over flat column references.
+    # The old zip_with/aggregate lambdas are CodegenFallback —
+    # interpreted per element, re-materializing the array wrapper per
+    # reference — where flat references are primitive getDouble reads
+    # inside the compiled BroadcastNestedLoopJoin predicate, evaluated
+    # BEFORE any joined row is copied (only the ~1e-5 surviving pairs
+    # materialize).  The norm stays in the compact aggregate form: a
+    # second unrolled chain measurably sends Catalyst's commutative-
+    # expression canonicalization quadratic at planning time (driver
+    # thread dump: orderCommutative), and it only runs once per row.
+    #
+    # Summation order is the identical left fold ((0.0+x₀·y₀)+x₁·y₁)+…
+    # of the old aggregate and the data has no null elements, so every
+    # pair's double sum is bit-for-bit the old value and the ≥ 0.45
+    # threshold cannot flip (oracle-verified at sf0.01 and sf0.1).
+    head = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .head()
+    )
+    dim = head["d"] if head else 0
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
@@ -2902,11 +2981,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .withColumn("nrm", norm)
     )
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    if not 0 < dim <= 512:  # width-agnostic fallback (empty table)
+        a = v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+        b = v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+        dot = F.aggregate(
+            F.zip_with("ea", "eb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        v = v.select("vec_id", "nrm", *[F.col("e")[i].alias(f"x{i}") for i in range(dim)])
+        a = v.select(
+            F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"),
+            *[F.col(f"x{i}").alias(f"a{i}") for i in range(dim)],
+        )
+        b = v.select(
+            F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"),
+            *[F.col(f"x{i}").alias(f"b{i}") for i in range(dim)],
+        )
+        dot = F.lit(0.0)
+        for i in range(dim):
+            dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))

@@ -60,6 +60,18 @@ def get_spark(
         # --- Arrow transport for every pandas UDF / toPandas ----------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan split size (guide §6) ---------------------------------
+        # Parameterised, NOT a constant tuned to one host: the sf* test
+        # tables are single parquet FILES (lineitem sf1.0 = 126 MB / 6
+        # row groups), and the 128 MB default packs the whole file into
+        # ONE scan task, serializing every scan-side stage.  16 MB
+        # restores row-group-level parallelism locally; a production
+        # corpus has thousands of natural file splits and would run the
+        # guide's 128 MB-1 GB setting via this same env knob.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         # --- idempotent partitioned overwrite (bytesum-skip analog) ---
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # --- deterministic session ------------------------------------
