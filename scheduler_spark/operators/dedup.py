@@ -187,14 +187,18 @@ def simhash_pairs(
     )
     a = banded.select("band", "chunk", F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"))
     b = banded.select("band", "chunk", F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"))
+    # r06: the hamming verify is one bit_count over columns already in
+    # the joined row, so it runs BEFORE the pair dedup — the dedup
+    # shuffle then carries only verified survivors (deterministic per
+    # pair, so band-duplicates pass/fail identically; same result set)
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -225,14 +229,18 @@ def _minhash_base(
     sf1.0) — this is the shingle-set table a 100 TB pipeline would
     persist as its index anyway (the winnow localCheckpoint
     precedent)."""
+    # checkpoint BEFORE the size filter: pushed below the projection
+    # (and any _spread exchange) the predicate re-evaluates the whole
+    # interpreted shingle expression on the single scan task — measured
+    # 16.7 s vs 1.4 s at sf1.0 for the same rows
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
             (F.col(block_col) if block_col else F.lit("all")).alias("block"),
             hashed_shingles(F.col(text_col), n).alias("s"),
         )
-        .filter(F.size("s") > 0)
         .localCheckpoint()
+        .filter(F.size("s") > 0)
     )
 
 
@@ -333,15 +341,22 @@ def minhash_lsh_pairs(
     banded = _minhash_banded(base, num_hashes, bands, max_bucket)
     a = banded.select("block", "band", "bucket", F.col("doc_id").alias("doc_a"))
     b = banded.select("block", "band", "bucket", F.col("doc_id").alias("doc_b"))
-    pairs = (
+    raw_pairs = (
         a.join(b, ["block", "band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
-    verified = _bitmap_verify(pairs, base, "doc_a", "doc_b", threshold)
+    # r06: on the bitmap path the exact verify is a few bit_counts, so
+    # it runs BEFORE the pair dedup — the dedup shuffle then carries
+    # only the verified survivors instead of the near-all-pairs
+    # candidate stream (the verify predicate is deterministic per pair,
+    # so band-duplicate candidates pass or fail identically and the
+    # result set is unchanged).  The array fallback keeps dedup first:
+    # there the per-pair verify is the expensive side.
+    verified = _bitmap_verify(raw_pairs, base, "doc_a", "doc_b", threshold)
     if verified is not None:
-        return verified
+        return verified.dropDuplicates(["doc_a", "doc_b"])
+    pairs = raw_pairs.dropDuplicates(["doc_a", "doc_b"])
     sets = base.select("doc_id", "s", F.size("s").alias("n"))
     return _verify_exact_jaccard(pairs, sets, sets, "doc_a", "doc_b", threshold)
 
@@ -970,20 +985,29 @@ def exact_substr_dedup(
     bounded by max document length.
     """
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    t = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-    toks = d.select("doc_id", F.posexplode(t).alias("pos", "tok")).withColumn(
+    # r06: tokens materialized in their own projection — the old inline
+    # form re-ran the regexp per gram inside the Generate lambda — and
+    # the gram rows checkpointed once for their two consumers (count
+    # aggregate + join-back)
+    dt = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("tk"),
+    )
+    toks = dt.select("doc_id", F.posexplode("tk").alias("pos", "tok")).withColumn(
         "pos", F.col("pos") + 1
     )
     grams = F.when(
-        F.size(t) >= min_len,
+        F.size("tk") >= min_len,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - (min_len - 1)),
-            lambda i: F.xxhash64(F.array_join(F.slice(t, i, F.lit(min_len)), " ")),
+            F.sequence(F.lit(1), F.size("tk") - (min_len - 1)),
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(F.col("tk"), i, F.lit(min_len)), " ")
+            ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
-    g = d.select("doc_id", F.posexplode(grams).alias("gpos", "gram")).withColumn(
+    g = dt.select("doc_id", F.posexplode(grams).alias("gpos", "gram")).withColumn(
         "gpos", F.col("gpos") + 1
-    )
+    ).localCheckpoint()
     c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gn"))
     dup_starts = (
         g.join(c, "gram")

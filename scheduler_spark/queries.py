@@ -39,8 +39,17 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     expression-heavy stages — the interpreted PQ/IVF encode — to ONE
     thread; a production corpus has thousands of natural scan splits.
     The shuffle is trivial at test scale (<1 MB) and restores the
-    parallelism the plan would have on real inputs."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    parallelism the plan would have on real inputs.
+
+    r06: scale-adaptive — when the scan already has at least
+    defaultParallelism splits (any real corpus), the repartition is
+    skipped entirely, so the helper never costs a corpus-sized shuffle
+    at production scale (the round rules' "derive from input size, not
+    a constant" discipline)."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def query(name: str, sql: str | None = None):
@@ -1567,7 +1576,8 @@ def quarantine_invalid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def harvest_word_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # r06: spread — pure map over a single-file table ran on ONE core
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.sha2("text", 256).alias("content_sha"),
@@ -4136,14 +4146,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     back — df and N are vocabulary-sized, so at 100 TB the only
     corpus-scale shuffle is the (doc, token) tf rollup, which
     map-side-combines."""
-    d = _t(spark, sf_dir, "documents")
+    # r06: scan spread to all cores — the single-file documents table
+    # otherwise tokenizes in ONE task per consuming branch (guide §6)
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
         ).alias("token"),
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n"))
     # dfreq is vocabulary-sized, which is UNBOUNDED on a code corpus
@@ -4222,7 +4234,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl and a per-term top-10 window over postings-sized rows.  avgdl =
     exact BIGINT sumdl / N, so every score input is
     order-independent."""
-    d = _t(spark, sf_dir, "documents")
+    # r06: scan spread + the tf table materialized once — it feeds
+    # dfreq, dl, the corpus sumdl scalar AND the scoring join
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.explode(
@@ -4231,7 +4245,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).localCheckpoint()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     n = (
@@ -4309,23 +4323,33 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     not corpus-bounded, so the joins back are dim joins; the only
     corpus-scale shuffle is the (gram) rollup, which map-side combines.
     """
-    d = _t(spark, sf_dir, "documents")
+    # r06: scan spread to all cores (the single-file documents table
+    # scans as ONE task) and the bigram rows MATERIALIZED once — bi
+    # feeds three aggregation branches plus the scoring join, and each
+    # re-derivation repaid the tokenize+explode (guide §1.2, §2.4).
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id",
         F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("toks"),
     )
+    # the <2-token guard is a when/otherwise INSIDE the generator, not a
+    # filter: a pushable size-filter re-evaluates the tokenizer on the
+    # single pre-exchange scan task (the _minhash_base pushdown trap)
     bi = (
-        t.filter(F.size("toks") >= 2)
-        .select(
+        t.select(
             "doc_id",
             F.explode(
-                F.zip_with(
-                    F.slice("toks", 1, F.size("toks") - 1),
-                    F.slice("toks", 2, F.size("toks") - 1),
-                    lambda a, b: F.concat(a, F.lit(" "), b),
-                )
+                F.when(
+                    F.size("toks") >= 2,
+                    F.zip_with(
+                        F.slice("toks", 1, F.size("toks") - 1),
+                        F.slice("toks", 2, F.size("toks") - 1),
+                        lambda a, b: F.concat(a, F.lit(" "), b),
+                    ),
+                ).otherwise(F.expr("CAST(array() AS array<string>)"))
             ).alias("gram"),
         )
+        .localCheckpoint()
     )
     cb = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
     cl = (
@@ -4417,21 +4441,27 @@ def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total pinned broadcast — the count tables are left to AQE, never
     hint-broadcast (unbounded web vocabularies are a driver-OOM
     hazard)."""
-    d = _t(spark, sf_dir, "documents")
+    # r06: scan spread + bi materialized once — it feeds FOUR branches
+    # (cb, cl, cr, and the scoring join); see bigram_logprob_score.
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id",
         F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("toks"),
     )
-    bi = t.filter(F.size("toks") >= 2).select(
+    # <2-token guard inside the generator (see bigram_logprob_score)
+    bi = t.select(
         "doc_id",
         F.explode(
-            F.zip_with(
-                F.slice("toks", 1, F.size("toks") - 1),
-                F.slice("toks", 2, F.size("toks") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<string>)"))
         ).alias("gram"),
-    )
+    ).localCheckpoint()
     w1 = F.substring_index("gram", " ", 1)
     w2 = F.substring_index("gram", " ", -1)
     cb = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
@@ -4558,7 +4588,8 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join pair space is C(50,2)-bounded at ANY corpus size; the
     vocabulary is broadcast and the per-doc join fans out at most 50
     rows per document."""
-    d = _t(spark, sf_dir, "documents")
+    # r06: scan spread (single-file table = one scan task otherwise)
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.explode(
@@ -4646,10 +4677,16 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the naive explode+groupBy which shuffles one row per token)."""
     from .functions.text import quality_keep, quality_metrics, word_tokens
 
-    d = _t(spark, sf_dir, "documents")
+    # r06: _spread restores scan parallelism over the single-file local
+    # table (a doc-granular ROUND-ROBIN — never a token-row shuffle,
+    # and a no-op at production split counts since _spread is adaptive)
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     t = d.select("doc_id", "source", word_tokens(F.col("text")).alias("toks"))
-    metrics = quality_metrics(F.col("toks"))
-    m = t.select(
+    # _srt materialized in its own projection (multi-referenced by the
+    # run-length top_c fold)
+    ts = t.withColumn("_srt", F.array_sort("toks"))
+    metrics = quality_metrics(F.col("toks"), F.col("_srt"))
+    m = ts.select(
         "doc_id", "source", *[expr.alias(name) for name, expr in metrics.items()]
     )
     return m.withColumn(
@@ -5603,14 +5640,18 @@ def ccnet_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle keys on the 8-byte chunk hash via a groupBy min — never
     doc×doc; the rebuild is one per-doc rollup.  String compare, no ulp
     guard."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    chunks = d.select(
+    # r06: scan spread + the split-word array materialized in its own
+    # projection — the old inline form re-split the text per chunk
+    # inside the Generate (and once more for the sequence bound)
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select("doc_id", "text")
+    dw = d.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+    chunks = dw.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 8.0)"
+                "transform(sequence(0, cast(ceil(size(ws) / 8.0)"
                 " as int) - 1),"
-                " j -> array_join(slice(split(text, ' '), j * 8 + 1, 8), ' '))"
+                " j -> array_join(slice(ws, j * 8 + 1, 8), ' '))"
             )
         ).alias("j", "chunk"),
     )
@@ -6471,15 +6512,22 @@ def boilerplate_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass profile as contamination_overlap, with the gram
     dictionary AQE-partitioned."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    t = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    # r06: tokens materialized in their own projection — the old inline
+    # form re-ran the regexp per gram inside the Generate lambda; the
+    # gram rows are then checkpointed once for their two consumers
+    # (the count aggregate and the join-back)
+    dt = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("tk"),
+    )
     grams = F.when(
-        F.size(t) >= 8,
+        F.size("tk") >= 8,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - 7),
-            lambda i: F.xxhash64(F.array_join(F.slice(t, i, F.lit(8)), " ")),
+            F.sequence(F.lit(1), F.size("tk") - 7),
+            lambda i: F.xxhash64(F.array_join(F.slice(F.col("tk"), i, F.lit(8)), " ")),
         ),
     ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
-    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    g = dt.select("doc_id", F.explode(grams).alias("gram")).localCheckpoint()
     c = g.groupBy("gram").agg(F.count(F.lit(1)).alias("gn"))
     dup = F.sum(F.when(F.col("gn") >= 2, 1).otherwise(0))
     return (
@@ -6695,17 +6743,24 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.  Docs with <2 tokens have no bigram features: NULL score,
     keep=false, kept total via the documents left join."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    t = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    # r06: tokenize into a MATERIALIZED column first — the old inline
+    # form put the regexp inside the generator's element_at lambda, so
+    # the Generate re-evaluated regexp_extract_all per bigram (measured
+    # 5.0 s for the explode alone at sf1.0); against the `tk` attribute
+    # the same explode is sub-second.  feats is then localCheckpointed:
+    # it feeds the dictionary, the count pass and the scoring pass.
+    tk = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    d2 = d.select("doc_id", "lang", tk.alias("tk"))
     bigrams = F.when(
-        F.size(t) >= 2,
+        F.size("tk") >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
+            F.sequence(F.lit(1), F.size("tk") - 1),
             lambda i: F.concat(
-                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+                F.element_at(F.col("tk"), i), F.lit(" "), F.element_at(F.col("tk"), i + 1)
             ),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    feats = d.select("doc_id", "lang", F.explode(bigrams).alias("f"))
+    feats = d2.select("doc_id", "lang", F.explode(bigrams).alias("f")).localCheckpoint()
     codes = F.transform(
         F.sequence(F.lit(1), F.length("f")),
         lambda i: F.ascii(F.substring(F.col("f"), i, F.lit(1))),
@@ -6718,7 +6773,15 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(64),
     )
-    b = feats.select("doc_id", "lang", bucket.alias("bucket"))
+    # r06: the interpreted per-character fold runs once per DISTINCT
+    # bigram (vocabulary-sized) instead of once per occurrence
+    # (corpus-sized, ~10-50x more) — identical bucket values joined
+    # back on the bigram string; the dictionary comes out of a shuffle,
+    # so AQE sizes the join from its ACTUAL bytes (broadcast here,
+    # shuffle on an unbounded web vocabulary) — the same no-pinned-
+    # broadcast discipline as the cb/cl dims (guide §4.1, §3.1).
+    fb = feats.select("f").distinct().select("f", bucket.alias("bucket"))
+    b = feats.join(fb, "f").select("doc_id", "lang", "bucket")
     counts = b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("rc"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),

@@ -154,12 +154,21 @@ def test_semi_and_anti_join_operators(spark, sf_dir):
 
 def test_quality_pass_is_shuffle_free(spark, sf_dir):
     """The Gopher quality metrics are array-lambda column expressions —
-    the whole pass must be a single scan with NO Exchange (the naive
-    explode+groupBy alternative shuffles one row per token, i.e. the
-    full corpus text at 100 TB)."""
-    for name in ("quality_gopher_rules", "repetition_collapse", "pii_redaction"):
+    the pass must never key-shuffle (the naive explode+groupBy
+    alternative shuffles one row per token, i.e. the full corpus text
+    at 100 TB).  r06: quality_gopher_rules is allowed exactly one
+    doc-granular ROUND-ROBIN repartition — the adaptive _spread that
+    parallelizes the single-split local scan and is a no-op at
+    production split counts — but still no hash/range exchange ever."""
+    for name in ("repetition_collapse", "pii_redaction"):
         plan = _plan(q.all_queries()[name](spark, sf_dir))
         assert "Exchange" not in plan, (name, plan)
+    plan = _plan(q.all_queries()["quality_gopher_rules"](spark, sf_dir))
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) <= 1, plan
+    for line in exchanges:
+        assert "RoundRobinPartitioning" in line, plan
+    assert "hashpartitioning" not in plan, plan
 
 
 def test_fuzzy_match_blocks_with_equi_join(spark, sf_dir):
