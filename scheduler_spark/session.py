@@ -78,7 +78,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- join strategy (guide §3.1) --------------------------------
+        # Static threshold stays at the 10 MB default: it acts on size
+        # ESTIMATES (file size × filter selectivity guesses), and the old
+        # 64 MB override made the planner broadcast the 6M-row lineitem
+        # fact (~144 MB in memory) into q3/q5's joins — a 2-3 s driver
+        # hash-relation build per run that AQE can never undo.  The
+        # ADAPTIVE threshold acts on exact runtime sizes, so mid-size
+        # dims still convert SMJ→BHJ safely at 64 MB.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "10m"),
+        )
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_ADAPTIVE_BROADCAST_THRESHOLD", "64m"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
