@@ -100,8 +100,19 @@ def bpe_train(
     unrolls exactly k levels, so gate corpora must support k merges
     (any non-degenerate text corpus does).
     """
-    spark: SparkSession = df.sparkSession
-    vocab = _word_types(df, text_col).localCheckpoint()
+    merges_df, _ = _bpe_train_vocab(_word_types(df, text_col), df.sparkSession, k)
+    return merges_df
+
+
+def _bpe_train_vocab(
+    vocab: DataFrame, spark: SparkSession, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Training loop over a prebuilt word-type table → (merges, final
+    vocab with all k merges applied).  The final vocab IS the
+    segmentation table the encode pass needs, so callers that encode
+    after training reuse it instead of re-deriving word types from the
+    corpus and replaying the merges (r06: one corpus tokenize saved)."""
+    vocab = vocab.localCheckpoint()
     merges: list[Row] = []
     for rank in range(1, k + 1):
         best = (
@@ -129,11 +140,21 @@ def bpe_train(
                 F.col("s"), F.lit(f" {left}  {right} "), F.lit(f" {merged} ")
             ).alias("s"),
             "freq",
-        ).localCheckpoint()
+        )
+        # r06: checkpoint every 4th round, not every round — a chain of
+        # ≤4 `replace` projections over the vocab table is bounded
+        # recompute (vocabulary-sized, zero shuffle), and dropping the
+        # eager materialization job halves the fixed per-round job
+        # count for small k while the interval still truncates lineage
+        # for large-k training runs.
+        if rank % 4 == 0:
+            vocab = vocab.localCheckpoint()
+    if len(merges) % 4 != 0:
+        vocab = vocab.localCheckpoint()
     schema = (
         "merge_rank int, lhs string, rhs string, merged string, pair_count long"
     )
-    return spark.createDataFrame(merges, schema)
+    return spark.createDataFrame(merges, schema), vocab
 
 
 def bpe_segment_words(
@@ -179,19 +200,38 @@ def bpe_encode_counts(
     contributes ≥ 1 subword and zero-token docs stay total with
     (0, 0).  One corpus tokenize + one vocabulary-key equi-join — the
     word column is the only shuffle key, never text."""
-    trained = [
-        (r["lhs"], r["rhs"])
-        for r in bpe_train(df, text_col=text_col, k=k)
-        .orderBy("merge_rank")
-        .collect()
-    ]
-    seg = bpe_segment_words(df, trained, text_col)
+    # r06: ONE corpus tokenize.  The (doc_id, word) explode is
+    # checkpointed and reused for (a) the word-type table training runs
+    # on and (b) the per-doc rollup join; the trained loop's final
+    # vocabulary IS the segmentation table (all k merges applied), so
+    # the old path's second corpus tokenize (bpe_segment_words) and its
+    # k replayed replaces are gone.  Same symbols, same merges, same
+    # counts — grouping word TYPES by `w` instead of by the delimited
+    # symbol string is a bijection (s ↔ w).
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     toks = d.select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
         ).alias("w"),
+    ).localCheckpoint()
+    wt = (
+        toks.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab0 = wt.select(
+        F.concat(
+            F.lit("  "),
+            F.array_join(F.regexp_extract_all("w", F.lit("."), 0), "  "),
+            F.lit("  "),
+        ).alias("s"),
+        "freq",
+    )
+    _, final_vocab = _bpe_train_vocab(vocab0, df.sparkSession, k)
+    seg = final_vocab.select(
+        F.replace(F.col("s"), F.lit(" "), F.lit("")).alias("w"),
+        F.size(F.split(F.trim("s"), "  ")).cast("long").alias("n_sub"),
     )
     counted = (
         toks.join(seg, "w", "left")
