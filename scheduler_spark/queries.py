@@ -4335,46 +4335,51 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the <2-token guard is a when/otherwise INSIDE the generator, not a
     # filter: a pushable size-filter re-evaluates the tokenizer on the
     # single pre-exchange scan task (the _minhash_base pushdown trap)
-    bi = (
-        t.select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.size("toks") >= 2,
-                    F.zip_with(
-                        F.slice("toks", 1, F.size("toks") - 1),
-                        F.slice("toks", 2, F.size("toks") - 1),
-                        lambda a, b: F.concat(a, F.lit(" "), b),
-                    ),
-                ).otherwise(F.expr("CAST(array() AS array<string>)"))
-            ).alias("gram"),
-        )
-        .localCheckpoint()
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<string>)"))
+        ).alias("gram"),
     )
+    # r06: EVERY count table derives from the distinct-gram count table
+    # cb — c_left(w1) is just Σ c_bi over cb rows with that w1 — so the
+    # model is scored once per DISTINCT gram (vocab²-bounded) and the
+    # corpus attaches the finished lp with ONE gram join (AQE
+    # broadcasts it when the gram table is small).  The old plan
+    # checkpointed the bigram stream and shuffled it corpus-scale
+    # twice more (by gram, then by w1); per-occurrence lp values are
+    # identical doubles (same deterministic function of the gram), so
+    # each doc averages the same multiset.  cb/cl stay un-hinted:
+    # web-scale vocabularies are a driver-OOM hazard to pin.
     cb = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
     cl = (
-        bi.select(F.substring_index("gram", " ", 1).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c_left"))
+        cb.groupBy(F.substring_index("gram", " ", 1).alias("w1"))
+        .agg(F.sum("c_bi").alias("c_left"))
     )
     v = t.select(F.explode("toks").alias("tok")).agg(
         F.countDistinct("tok").alias("vocab")
     )
     lp = F.log((F.col("c_bi") + 0.5) / (F.col("c_left") + 0.5 * F.col("vocab")))
-    # cb (vocab²-sized) and cl (vocab-sized) are deliberately NOT
-    # broadcast-hinted: a web corpus's unigram vocabulary is as
-    # unbounded as its bigrams (numbers, hashes, identifiers), so a
-    # pinned broadcast of either is a driver-OOM hazard at scale.  AQE
-    # picks broadcast on its own when the actual size allows; only the
-    # scalar v is always safe to pin.
-    return (
-        bi.join(cb, "gram")
-        .join(
-            cl,
-            F.substring_index(F.col("gram"), " ", 1) == F.col("w1"),
-        )
+    # the attach join keys on the gram's xxhash64 (8-byte radix-
+    # sortable key instead of the string — the corpus-wide injective-
+    # hash contract of the dup-gram gates), and stays un-hinted: AQE
+    # broadcasts the scored gram table when its true size allows, and
+    # web-scale vocabularies are a driver-OOM hazard to pin.
+    scored_gram = (
+        cb.join(cl, F.substring_index(F.col("gram"), " ", 1) == F.col("w1"))
         .crossJoin(F.broadcast(v))
-        .select("doc_id", lp.alias("lp"))
+        .select(F.xxhash64("gram").alias("gh"), lp.alias("lp"))
+    )
+    return (
+        bi.select("doc_id", F.xxhash64("gram").alias("gh"))
+        .join(scored_gram, "gh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
@@ -4441,8 +4446,16 @@ def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total pinned broadcast — the count tables are left to AQE, never
     hint-broadcast (unbounded web vocabularies are a driver-OOM
     hazard)."""
-    # r06: scan spread + bi materialized once — it feeds FOUR branches
-    # (cb, cl, cr, and the scoring join); see bigram_logprob_score.
+    # r06: every KN count table derives from the distinct-gram count
+    # table cb — c_left(w1) = Σ c_bi over cb rows with that w1,
+    # n_right(w1) = how many cb rows have that w1, n_left(w2) = how
+    # many cb rows have that w2 — so the model is scored once per
+    # DISTINCT gram (vocab²-bounded) and the corpus attaches the
+    # finished lp with ONE gram join (AQE broadcasts it when small).
+    # The old plan checkpointed the bigram stream and shuffled it
+    # corpus-scale three more times (by gram, w1, then w2);
+    # per-occurrence lp values are identical doubles (deterministic
+    # function of the gram), so each doc averages the same multiset.
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id",
@@ -4461,35 +4474,31 @@ def kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).otherwise(F.expr("CAST(array() AS array<string>)"))
         ).alias("gram"),
-    ).localCheckpoint()
+    )
     w1 = F.substring_index("gram", " ", 1)
     w2 = F.substring_index("gram", " ", -1)
     cb = bi.groupBy("gram").agg(F.count(F.lit(1)).alias("c_bi"))
-    cl = (
-        bi.select(w1.alias("w1"), w2.alias("_w2"))
-        .groupBy("w1")
-        .agg(
-            F.count(F.lit(1)).alias("c_left"),
-            F.countDistinct("_w2").alias("n_right"),
-        )
+    cl = cb.groupBy(w1.alias("w1")).agg(
+        F.sum("c_bi").alias("c_left"),
+        F.count(F.lit(1)).alias("n_right"),
     )
-    cr = (
-        bi.select(w2.alias("w2"), w1.alias("_w1"))
-        .groupBy("w2")
-        .agg(F.countDistinct("_w1").alias("n_left"))
-    )
+    cr = cb.groupBy(w2.alias("w2")).agg(F.count(F.lit(1)).alias("n_left"))
     nt = cb.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
     lp = F.log(
         (F.col("c_bi") - 0.75) / F.col("c_left")
         + (0.75 * F.col("n_right") / F.col("c_left"))
         * (F.col("n_left") / F.col("n_types"))
     )
-    return (
-        bi.join(cb, "gram")
-        .join(cl, F.substring_index(F.col("gram"), " ", 1) == F.col("w1"))
+    # hash-keyed attach, un-hinted — see bigram_logprob_score
+    scored_gram = (
+        cb.join(cl, F.substring_index(F.col("gram"), " ", 1) == F.col("w1"))
         .join(cr, F.substring_index(F.col("gram"), " ", -1) == F.col("w2"))
         .crossJoin(F.broadcast(nt))
-        .select("doc_id", lp.alias("lp"))
+        .select(F.xxhash64("gram").alias("gh"), lp.alias("lp"))
+    )
+    return (
+        bi.select("doc_id", F.xxhash64("gram").alias("gh"))
+        .join(scored_gram, "gh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
