@@ -207,6 +207,11 @@ def embedding_lsh_pairs(
     norm = F.sqrt(
         F.aggregate(F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
+    # NOT checkpointed (r06, measured): materializing the vector+norm
+    # table costs more than the ≤2 re-evaluations — when the bucket
+    # caps shed every candidate (high-sf corpora) AQE's empty-relation
+    # propagation prunes the attach joins entirely, and when pairs
+    # exist the re-scan is dwarfed by the pair join itself.
     v = v.withColumn("nrm", norm)
     buckets = F.array(
         *[
@@ -218,7 +223,15 @@ def embedding_lsh_pairs(
     # dedup.minhash_lsh_pairs): the bucket self-join is bands×-redundant
     # pre-dedup, so embedding arrays ride along only AFTER the pair set
     # is distinct — once per verified pair instead of once per band hit.
-    banded = v.select("vid", F.posexplode(buckets).alias("band", "bucket"))
+    # r06: the 16-signature array is CHECKPOINTED before the explode —
+    # a Generate whose generator inlines the signature expressions
+    # re-evaluates them per emitted element (the filter/generator
+    # pathology; a plain projection collapses back into the Generate,
+    # so only materialization breaks it), and the capped banding feeds
+    # both self-join sides anyway.  Rows are (vid, 16 longs) — the
+    # banding index a pipeline persists.
+    sigs = v.select("vid", buckets.alias("_bks")).localCheckpoint()
+    banded = sigs.select("vid", F.posexplode("_bks").alias("band", "bucket"))
     w = Window.partitionBy("band", "bucket")
     banded = (
         banded.withColumn("bucket_n", F.count(F.lit(1)).over(w))
@@ -723,9 +736,15 @@ def semdedup_prune(
     # first occurrence of the max ⇒ ties break to the lowest centroid
     # id (ids are sorted ascending), matching ORDER BY sim DESC, cid
     idx = F.array_position(sims, F.array_max(sims))
+    # r06: checkpoint the assignment — three consumers (keeper agg,
+    # keeper gather, final compare) otherwise re-evaluate the k×d
+    # interpreted codebook fold per scan (measured 1.3-1.5 s → ~1.0 s;
+    # an unrolled flat-column assignment was tried and is ~3× WORSE —
+    # the _codebook_lit plan-size note holds).  The frame is one row
+    # per vector, the cluster-assignment table a pipeline persists.
     asg = v.select(
         "vec_id", "e", F.element_at(F.lit(ids), idx.cast("int")).alias("cluster_id")
-    )
+    ).localCheckpoint()
     keep = asg.groupBy("cluster_id").agg(F.min("vec_id").alias("keeper"))
     kemb = (
         asg.join(F.broadcast(keep), "cluster_id")

@@ -5664,12 +5664,16 @@ def ccnet_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("j", "chunk"),
     )
-    first = chunks.groupBy("chunk").agg(
-        F.min(F.struct("doc_id", "j")).alias("first")
+    # r06: keep-first via ONE row_number window over the chunk shuffle
+    # (exactly the oracle's shape) — the old min-struct groupBy + join
+    # re-derived the chunk stream for the second consumer and shuffled
+    # it twice
+    rn = F.row_number().over(
+        Window.partitionBy("chunk").orderBy("doc_id", "j")
     )
     kept = (
-        chunks.join(first, "chunk")
-        .filter(F.struct("doc_id", "j") == F.col("first"))
+        chunks.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_kept"),
@@ -6672,7 +6676,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(64),
     )
-    b = toks.select("doc_id", "lang", bucket.alias("bucket"))
+    # r06: checkpointed — the bucket column (an interpreted per-token
+    # char fold) feeds BOTH the count aggregate and the weight
+    # join-back, and re-deriving it repaid the tokenize + fold per
+    # consumer (measured ~2.3-4 s → ~1.4 s at sf1.0; rows are three
+    # narrow columns per token)
+    b = toks.select("doc_id", "lang", bucket.alias("bucket")).localCheckpoint()
     # ONE conditional aggregation produces both distributions (buckets
     # in target are a subset of raw, so tc=0 rows fall out naturally) —
     # the corpus is tokenized twice total: once here, once in the
@@ -6796,7 +6805,12 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle on an unbounded web vocabulary) — the same no-pinned-
     # broadcast discipline as the cb/cl dims (guide §4.1, §3.1).
     fb = feats.select("f").distinct().select("f", bucket.alias("bucket"))
-    b = feats.join(fb, "f").select("doc_id", "lang", "bucket")
+    # r06: checkpointed — the bucketed rows feed BOTH the count pass
+    # and the scoring pass, and re-deriving them repaid the dictionary
+    # join per consumer (the dsir fix; three narrow columns per feature)
+    b = feats.join(fb, "f").select(
+        "doc_id", "lang", "bucket"
+    ).localCheckpoint()
     counts = b.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("rc"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
