@@ -83,6 +83,12 @@ def longest_path_depth(
         )
         fin = fin.unionByName(ready).localCheckpoint()
         n_fin = fin.count()
+    # re-check AFTER the final iteration (ADVICE r05: the top-of-loop
+    # check alone made the effective capacity max_rounds-1 — a DAG
+    # whose finalization needs exactly max_rounds rounds finished the
+    # work but raised), mirroring ktruss's check-after-peel
+    if n_fin == total:
+        return fin.select(F.col("n").alias("node"), "depth")
     raise RuntimeError(
         f"longest_path_depth did not finalize all {total} nodes within "
         f"{max_rounds} rounds ({n_fin} done) — cyclic input or longest "

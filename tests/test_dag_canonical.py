@@ -39,6 +39,18 @@ def test_longest_path_cycle_raises(spark):
         longest_path_depth(e, max_rounds=10)
 
 
+def test_longest_path_exact_round_budget(spark):
+    # ADVICE r05 boundary: a 3-chain finalizes node-by-node in exactly
+    # 3 processing rounds; with the old top-of-loop-only convergence
+    # check max_rounds=3 finished the work but raised RuntimeError
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    out = {
+        r["node"]: r["depth"]
+        for r in longest_path_depth(e, max_rounds=3).collect()
+    }
+    assert out == {4: 0, 3: 1, 2: 2, 1: 3}
+
+
 def _triples(spark, rows):
     return spark.createDataFrame(rows, "subj long, pred string, obj long")
 
