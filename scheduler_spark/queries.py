@@ -27,6 +27,7 @@ Query = Callable[[SparkSession, str], DataFrame]
 
 _SPARK_QUERIES: dict[str, Query] = {}
 _ORACLE_SQL: dict[str, str] = {}
+_SPREAD_PARTS: dict[tuple, int] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,7 +48,20 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     at production scale (the round rules' "derive from input size, not
     a constant" discipline)."""
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    # The split-count probe (df.rdd.getNumPartitions) pays a full
+    # physical planning pass (~0.1 s driver time per call, measured);
+    # memoize it per (session, logical plan) — callers pass raw scans,
+    # so the logical-plan string is just the parquet path and the
+    # repeat cost drops to one py4j toString.
+    key = (
+        spark.sparkContext.applicationId,
+        df._jdf.queryExecution().logical().toString(),
+    )
+    n = _SPREAD_PARTS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SPREAD_PARTS[key] = n
+    if n >= par:
         return df
     return df.repartition(par)
 
@@ -1206,12 +1220,25 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     """,
 )
 def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r06: top-1-per-key as a MAP-SIDE-COMBINING aggregate instead of
+    # shuffle + per-key sort + row_number (guide §2.3 "aggregate before
+    # you shuffle"): max(struct(price, -orderkey)) picks the same unique
+    # row — max price, ties to the smallest orderkey — and the partial
+    # aggregate shrinks the exchange to one row per (custkey, map task)
+    # where the window shuffled every order row.  o_orderkey is unique,
+    # so rn=1 was deterministic and the rewrite is row-identical.
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+    top = o.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(
+                F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")
+            )
+        ).alias("t")
+    )
+    return top.select(
+        "o_custkey",
+        (-F.col("t.nk")).alias("o_orderkey"),
+        F.col("t.o_totalprice").alias("o_totalprice"),
     )
 
 

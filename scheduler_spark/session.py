@@ -76,7 +76,7 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # --- deterministic session ------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
         .config("spark.ui.enabled", "false")
         # --- join strategy (guide §3.1) --------------------------------
         # Static threshold stays at the 10 MB default: it acts on size
@@ -93,6 +93,23 @@ def get_spark(
         .config(
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             os.environ.get("SPARK_GRAFT_ADAPTIVE_BROADCAST_THRESHOLD", "64m"),
+        )
+        # --- context-cleaner cadence (guide §5 "unpersist when done") --
+        # ContextCleaner frees out-of-scope checkpoint/shuffle/broadcast
+        # blocks only when the DRIVER JVM garbage-collects, and a 48 GB
+        # heap may not GC for the whole life of a multi-query session —
+        # measured here as monotonic degradation across a 42-query run
+        # (embedding_covariance 1.0 s isolated vs 3.6 s at suite end)
+        # from dead localCheckpoint blocks crowding the unified-memory
+        # storage region.  The default periodicGC.interval is 30 MIN —
+        # never inside a query's lifetime.  Two levers, both measured:
+        # a 20 GB heap (vs 48) makes young-gen GCs frequent-and-cheap so
+        # the cleaner drains continuously, and a 2 min forced GC is the
+        # safety net (30 s was tried: full GCs on a large heap landed
+        # inside trials and cost more than the leak).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
         )
     )
     if extra_conf:
