@@ -1220,25 +1220,19 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     """,
 )
 def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # r06: top-1-per-key as a MAP-SIDE-COMBINING aggregate instead of
-    # shuffle + per-key sort + row_number (guide §2.3 "aggregate before
-    # you shuffle"): max(struct(price, -orderkey)) picks the same unique
-    # row — max price, ties to the smallest orderkey — and the partial
-    # aggregate shrinks the exchange to one row per (custkey, map task)
-    # where the window shuffled every order row.  o_orderkey is unique,
-    # so rn=1 was deterministic and the rewrite is row-identical.
+    # r06 note: examined and deliberately LEFT as a window.  Spark 4's
+    # WindowGroupLimit already runs a partial top-1-per-key below the
+    # exchange (see plans/r06/window_top_order_per_customer_before.txt,
+    # operator (3)), so the shuffle carries at most one row per
+    # (custkey, map task) — a max(struct(price, -orderkey)) aggregate
+    # rewrite was tried and compiles to SortAggregate (struct buffers
+    # aren't hash-aggregable), i.e. the same sort + same exchange width.
     o = _t(spark, sf_dir, "orders")
-    top = o.groupBy("o_custkey").agg(
-        F.max(
-            F.struct(
-                F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")
-            )
-        ).alias("t")
-    )
-    return top.select(
-        "o_custkey",
-        (-F.col("t.nk")).alias("o_orderkey"),
-        F.col("t.o_totalprice").alias("o_totalprice"),
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
     )
 
 
