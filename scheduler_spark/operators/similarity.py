@@ -213,24 +213,53 @@ def embedding_lsh_pairs(
     # propagation prunes the attach joins entirely, and when pairs
     # exist the re-scan is dwarfed by the pair join itself.
     v = v.withColumn("nrm", norm)
-    buckets = F.array(
-        *[
-            _bucket_signature_offset(F.col("e"), dim, planes_per_band, b * planes_per_band)
-            for b in range(bands)
-        ]
-    )
     # IDS-ONLY through the band join (same reasoning as
     # dedup.minhash_lsh_pairs): the bucket self-join is bands×-redundant
     # pre-dedup, so embedding arrays ride along only AFTER the pair set
     # is distinct — once per verified pair instead of once per band hit.
-    # r06: the 16-signature array is CHECKPOINTED before the explode —
-    # a Generate whose generator inlines the signature expressions
-    # re-evaluates them per emitted element (the filter/generator
-    # pathology; a plain projection collapses back into the Generate,
-    # so only materialization breaks it), and the capped banding feeds
-    # both self-join sides anyway.  Rows are (vid, 16 longs) — the
-    # banding index a pipeline persists.
-    sigs = v.select("vid", buckets.alias("_bks")).localCheckpoint()
+    # r06 (second pass): the plane dots are computed the simhash_table
+    # way — ONE posexplode of the vector + (bands × planes) plain
+    # codegen'd `sum(x · element_at(plane, i+1))` aggregates with
+    # map-side combine — instead of 32 interpreted aggregate/zip_with
+    # folds per row (CodegenFallback, measured 3.35 s for this row at
+    # sf1.0; 7.2 s when the fold table isn't even checkpointed and the
+    # banding Generate re-evaluates it per element).  A vector's
+    # exploded rows never leave their task, so each sum accumulates in
+    # element order — the identical left fold — and a ±0.0 product can
+    # only flip the sign of a ZERO dot, which the `> 0` bucket bit maps
+    # identically; signatures are bit-compatible with the fold form
+    # (recall gate re-verified).  The aggregated signature table —
+    # (vid, 16 longs), the banding index a pipeline persists — is
+    # CHECKPOINTED so the cap window + both self-join sides read it
+    # without re-deriving the aggregation.
+    n_planes_total = bands * planes_per_band
+    ex = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    dots = ex.groupBy("vid").agg(
+        *[
+            F.sum(
+                F.col("x") * F.element_at(_hyperplane(dim, p), F.col("i") + 1)
+            ).alias(f"d{p}")
+            for p in range(n_planes_total)
+        ]
+    )
+    def _bucket_of(band: int):
+        bits = [
+            F.when(
+                F.col(f"d{band * planes_per_band + p}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), p),
+            ).otherwise(F.lit(0).cast("long"))
+            for p in range(planes_per_band)
+        ]
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out.bitwiseXOR(bcol)
+        return out
+    sigs = dots.select(
+        "vid", F.array(*[_bucket_of(b) for b in range(bands)]).alias("_bks")
+    ).localCheckpoint()
     banded = sigs.select("vid", F.posexplode("_bks").alias("band", "bucket"))
     w = Window.partitionBy("band", "bucket")
     banded = (
@@ -260,27 +289,6 @@ def embedding_lsh_pairs(
         cand.filter(dot / (F.col("na") * F.col("nb")) >= threshold)
         .select("vec_a", "vec_b")
     )
-
-
-def _bucket_signature_offset(vec_col, dim: int, n_planes: int, plane_offset: int):
-    """Sign pattern of `n_planes` hyperplanes starting at `plane_offset`,
-    packed into a long — one band's bucket id."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(vec_col, _hyperplane(dim, plane_offset + p), lambda x, h: x * h),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), p),
-        ).otherwise(F.lit(0).cast("long"))
-        for p in range(n_planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseXOR(b)
-    return out
 
 
 class PQModel(NamedTuple):
