@@ -66,6 +66,22 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
+_TABLE_ROWS: dict[tuple, int] = {}
+
+
+def _n_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a base table, memoized per (session, path).
+
+    count() over parquet is answered from row-group metadata (no data
+    scan), so the probe is effectively free at any corpus size."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    n = _TABLE_ROWS.get(key)
+    if n is None:
+        n = _t(spark, sf_dir, name).count()
+        _TABLE_ROWS[key] = n
+    return n
+
+
 def query(name: str, sql: str | None = None):
     def wrap(fn: Query) -> Query:
         _SPARK_QUERIES[name] = fn
@@ -3025,7 +3041,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # effectively free at any scale — and both paths produce the
     # bit-identical left-fold doubles, so the gate can never change a
     # row (oracle-green at sf0.01/sf0.1 on both sides of the cut).
-    n_vecs = _t(spark, sf_dir, "embeddings").count()
+    n_vecs = _n_rows(spark, sf_dir, "embeddings")
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
